@@ -3,36 +3,404 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash -> CORRECTNESS_r{N}.json).
+
+Float discipline: every float-valued output column is quantized with
+``floor(x * 10^d + 0.5)`` cast to BIGINT in BOTH engines, so JVM-vs-libm
+last-ULP differences cannot flip the value hash. Column names are aliased
+identically on both sides.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from find_that_charity_spark.functions.analyzer import ASCII_TOKEN_PATTERN, tokenize_expr
+from find_that_charity_spark.functions import text as T
+from find_that_charity_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dups,
+)
+from find_that_charity_spark.operators.relational import (
+    FLAGSHIP_QUERY,
+    bm25_topk,
+    bm25_topk_sql,
+)
+from find_that_charity_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
+from find_that_charity_spark.sources.corpus import read_table
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    return bm25_topk(docs, FLAGSHIP_QUERY, k=10)
+
+
+# ---------------------------------------------------------------------------
+# queries(): (spark, sf_dir) -> DataFrame, one per implemented operator
+# ---------------------------------------------------------------------------
+
+def _q_bm25_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(read_table(spark, sf_dir, "documents"), FLAGSHIP_QUERY, k=10)
+
+
+def _q_bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return bm25_topk(read_table(spark, sf_dir, "documents"), "customer", k=10)
+
+
+def _q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
+    return (
+        toks.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").cast("bigint").alias("df"),
+            F.count(F.lit(1)).cast("bigint").alias("cf"),
+        )
+        .orderBy("term")
+    )
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    dl = docs.select(F.size(tokenize_expr("text")).alias("dl"))
+    return dl.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_len"),
+        F.floor(F.avg("dl") * 1e4 + F.lit(0.5)).cast("bigint").alias("avgdl_mil"),
+    )
+
+
+def _q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5 suggest: terms with prefix 's', most-frequent-first
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
+    return (
+        toks.where(F.col("term").startswith("s"))
+        .groupBy("term")
+        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(10)
+    )
+
+
+def _q_lineitem_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.floor(F.sum("l_quantity") * 100 + F.lit(0.5)).cast("bigint").alias("sum_qty_c"),
+            F.floor(F.sum("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("sum_price_c"),
+            F.count(F.lit(1)).cast("bigint").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders")
+    n = read_table(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.floor(F.sum("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("revenue_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+def _q_top2_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select(
+            F.col("o_custkey").cast("bigint"),
+            F.col("o_orderkey").cast("bigint"),
+            F.col("rn").cast("int"),
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("price_c"),
+        )
+    )
+
+
+def _q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.floor(F.sum("value") * 100 + F.lit(0.5)).cast("bigint").alias("sum_value_c"),
+        )
+        .orderBy("day")
+    )
+
+
+def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = read_table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("bigint")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_setop_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    en = d.where(F.col("lang") == "en").select("source")
+    zh = d.where(F.col("lang") == "zh").select("source")
+    return en.distinct().exceptAll(zh.distinct()).orderBy("source")
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(read_table(spark, sf_dir, "documents")).orderBy("keep_id")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    return ngram_jaccard_pairs(docs, threshold=0.8).orderBy("id_a", "id_b")
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("pred_lang", T.lang_id("text"))
+        .groupBy("pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("pred_lang")
+    )
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            F.col("doc_id").cast("bigint"),
+            F.floor(T.quality_score("text") * 1e4 + F.lit(0.5)).cast("bigint").alias("quality_mil"),
+        )
+        .orderBy(F.desc("quality_mil"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select("source", T.fingerprint("text").alias("fp"))
+        .groupBy("source")
+        .agg(F.countDistinct("fp").cast("bigint").alias("n_distinct_fp"))
+        .orderBy("source")
+    )
+
+
+def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = read_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("doc_id").cast("bigint"), T.token_count("text").cast("bigint").alias("n_tokens"))
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_brute(emb, query_vec_id=0, k=10)
+
+
+def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check (FNV/minhash not SQL-expressible); deterministic output
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return minhash_lsh_pairs(docs, threshold=0.35).orderBy("id_a", "id_b")
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
+    return simhash_near_dups(docs, max_hamming=8).orderBy("id_a", "id_b")
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_lsh(emb, query_vec_id=0, k=10)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "bm25_topk_flagship": _q_bm25_flagship,
+        "bm25_topk_single_term": _q_bm25_single_term,
+        "term_dictionary": _q_term_dictionary,
+        "corpus_stats": _q_corpus_stats,
+        "autocomplete_prefix": _q_autocomplete,
+        "lineitem_pricing_agg": _q_lineitem_pricing,
+        "revenue_by_nation": _q_revenue_by_nation,
+        "top2_orders_per_cust": _q_top2_orders_per_cust,
+        "events_daily": _q_events_daily,
+        "events_json_props": _q_events_json,
+        "setop_sources": _q_setop_sources,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_ngram_jaccard,
+        "lang_id_counts": _q_lang_id,
+        "quality_top20": _q_quality,
+        "token_counts_top20": _q_token_counts,
+        "fingerprint_by_source": _q_fingerprint,
+        "ann_cosine_top10": _q_ann_cosine,
+        "minhash_lsh_pairs": _q_minhash_pairs,
+        "simhash_near_dups": _q_simhash_pairs,
+        "ann_cosine_lsh": _q_ann_lsh,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle_sql(): DuckDB twins (same aliases, same quantization)
+# ---------------------------------------------------------------------------
+
+_TOKS = f"regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}')"
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "bm25_topk_flagship": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "bm25_topk_single_term": bm25_topk_sql("customer", k=10),
+        "term_dictionary": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(count(*) AS BIGINT) AS cf
+            FROM toks GROUP BY term ORDER BY term
+        """,
+        "corpus_stats": f"""
+            WITH dl AS (SELECT len({_TOKS}) AS dl FROM documents)
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(dl) AS BIGINT) AS total_len,
+                   CAST(floor(avg(dl) * 1e4 + 0.5) AS BIGINT) AS avgdl_mil
+            FROM dl
+        """,
+        "autocomplete_prefix": f"""
+            WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS term FROM documents)
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM toks WHERE term LIKE 's%'
+            GROUP BY term ORDER BY df DESC, term ASC LIMIT 10
+        """,
+        "lineitem_pricing_agg": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(floor(sum(l_quantity) * 100 + 0.5) AS BIGINT) AS sum_qty_c,
+                   CAST(floor(sum(l_extendedprice) * 100 + 0.5) AS BIGINT) AS sum_price_c,
+                   CAST(count(*) AS BIGINT) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS revenue_c,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "top2_orders_per_cust": """
+            SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+                   CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                   CAST(rn AS INT) AS rn,
+                   CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+              FROM orders
+            ) WHERE rn <= 2
+        """,
+        "events_daily": """
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(floor(sum(value) * 100 + 0.5) AS BIGINT) AS sum_value_c
+            FROM events GROUP BY 1 ORDER BY day
+        """,
+        "events_json_props": """
+            SELECT event_type,
+                   CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "setop_sources": """
+            SELECT source FROM documents WHERE lang = 'en'
+            EXCEPT
+            SELECT source FROM documents WHERE lang = 'zh'
+            ORDER BY source
+        """,
+        "dedup_exact": """
+            SELECT CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY md5(text) ORDER BY keep_id
+        """,
+        "ngram_jaccard_pairs": f"""
+            WITH toks AS (
+              SELECT doc_id AS id, unnest(list_distinct({_TOKS})) AS t
+              FROM documents WHERE doc_id < 60
+            ),
+            sizes AS (SELECT id, count(*) AS sz FROM toks GROUP BY id),
+            inter AS (
+              SELECT l.id AS id_a, r.id AS id_b, count(*) AS i
+              FROM toks l JOIN toks r ON l.t = r.t AND l.id < r.id
+              GROUP BY 1, 2
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(floor(i * 1.0 / (sa.sz + sb.sz - i) * 1000 + 0.5) AS BIGINT) AS jaccard_mil
+            FROM inter JOIN sizes sa ON inter.id_a = sa.id
+            JOIN sizes sb ON inter.id_b = sb.id
+            WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "lang_id_counts": f"""
+            SELECT {T.lang_id_sql('text')} AS pred_lang,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY 1 ORDER BY pred_lang
+        """,
+        "quality_top20": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(floor({T.quality_score_sql('text')} * 1e4 + 0.5) AS BIGINT) AS quality_mil
+            FROM documents ORDER BY quality_mil DESC, doc_id ASC LIMIT 20
+        """,
+        "token_counts_top20": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST({T.token_count_sql('text')} AS BIGINT) AS n_tokens
+            FROM documents ORDER BY n_tokens DESC, doc_id ASC LIMIT 20
+        """,
+        "fingerprint_by_source": f"""
+            SELECT source, CAST(count(DISTINCT {T.fingerprint_sql('text')}) AS BIGINT) AS n_distinct_fp
+            FROM documents GROUP BY source ORDER BY source
+        """,
+        "ann_cosine_top10": """
+            WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+            scored AS (
+              SELECT vec_id,
+                     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+                      sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))) AS cos
+              FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+            )
+            SELECT CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+                   CAST(floor(cos * 1e4 + 0.5) AS BIGINT) AS cos_mil
+            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        """,
+        # minhash_lsh_pairs / simhash_near_dups / ann_cosine_lsh: omitted —
+        # hash-based signatures are not SQL-expressible; driver records the
+        # weaker rows-only check (they are still deterministic + pytest-tested).
+    }

@@ -1,0 +1,143 @@
+"""Relational BM25 path (SURVEY.md §7 Slice 1) — the permanent equivalence
+oracle and the driver-gated flagship query.
+
+This is BM25 expressed entirely in native DataFrame operators — explode,
+groupBy, join, window — with zero Python UDFs, so Catalyst whole-stage
+codegens all of it and DuckDB can run the *same* logic as ANSI SQL for the
+driver's correctness gate (__spark_entry__.oracle_sql). The segment/blob
+fast path (operators/query.py) must produce identical top-k results; tests
+hold the two paths together (SURVEY.md §5.4).
+
+Scale notes (100 TB posture):
+- tokenization stays JVM-side here (``regexp_extract_all``) — valid for the
+  ASCII corpus; the production path uses the Arrow pandas UDF analyzer.
+- ``posexplode``/``groupBy`` gets map-side partial aggregation from
+  Catalyst; the (term, doc_id) shuffle is the unavoidable inversion
+  shuffle, identical in shape to the segment build (C7).
+- the query-side joins broadcast the (tiny) query-term set and the 1-row
+  stats — no full shuffle of postings at query time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from find_that_charity_spark.functions.analyzer import analyze, tokenize_expr
+from find_that_charity_spark.functions.bm25 import bm25_sql, bm25_term_score_col, idf_col
+from find_that_charity_spark.sources.corpus import read_table
+
+
+def relational_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(term, doc_id, tf) from a docs DataFrame — native ops only (C7)."""
+    tokens = docs.select(F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("tokens"))
+    return (
+        tokens.select("doc_id", F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def relational_doclen(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_id, dl) — exact token counts (B3)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"), F.size(tokenize_expr(text_col)).alias("dl")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_text: str,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k BM25 over ``docs`` for one query — pure relational plan.
+
+    Output: (doc_id bigint, rank int, score_mil bigint) where score_mil =
+    floor(score * 1e4 + 0.5) — integer-quantized so cross-engine float
+    rounding (JVM Math.log vs C libm) can't flip the driver's value-hash.
+    Tie-break (B4): score DESC, doc_id ASC.
+    """
+    spark = docs.sparkSession
+    terms = sorted(set(analyze(query_text)))
+    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+
+    postings = relational_postings(docs, id_col, text_col)
+    doclen = relational_doclen(docs, id_col, text_col)
+    stats = doclen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(
+            postings.join(F.broadcast(qterms), "term")
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df")),
+            "term",
+        )
+        .join(doclen, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("idf", idf_col(F.col("n_docs"), F.col("df")))
+        .withColumn(
+            "part_score",
+            bm25_term_score_col(F.col("tf"), F.col("dl"), F.col("idf"), F.col("avgdl")),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("part_score").alias("score"))
+    )
+    ranked = (
+        scored.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(k)
+        .withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.desc("score"), F.asc("doc_id"))),
+        )
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("score") * F.lit(1e4) + F.lit(0.5)).cast("bigint").alias("score_mil"),
+        )
+    )
+    return ranked
+
+
+def bm25_topk_sql(query_text: str, k: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` — same math, same aliases."""
+    terms = sorted(set(analyze(query_text)))
+    terms_list = ", ".join(f"('{t}')" for t in terms)
+    score_expr = bm25_sql(tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+s  AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q  AS (SELECT * FROM (VALUES {terms_list}) AS v(term)),
+d  AS (SELECT tf.term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum({score_expr}) AS score
+  FROM tf JOIN q USING (term) JOIN d ON tf.term = d.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_mil
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's ``entry`` query: BM25 top-10 over the documents table."""
+    docs = read_table(spark, sf_dir, "documents")
+    return bm25_topk(docs, FLAGSHIP_QUERY, k=10)
+
+
+# Multi-term query over the fixture vocabulary (all terms exist in corpus).
+FLAGSHIP_QUERY = "spark merge join window"

@@ -1,0 +1,131 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k as the exactness baseline, plus an LSH-bucketed
+(random hyperplane / SRP) variant as the scale path: at 100 TB the
+brute-force plan is a broadcast of the query set + a full scan (fine for
+few queries), while the LSH path prunes the scan to matching buckets.
+
+All vector math stays JVM-side (``zip_with``/``aggregate`` higher-order
+functions) — no Python in the hot loop.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_topk_brute(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k neighbors of one stored vector (excluding itself).
+
+    Output: (vec_id bigint, rank int, cos_mil bigint) — cosine quantized to
+    1e-4 so cross-engine float-sum ordering can't flip the value hash.
+    """
+    q = emb.where(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("qvec"))
+    joined = emb.where(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(q))
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    ranked = (
+        joined.withColumn("cos", cos)
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc(id_col)))
+            .cast("int")
+            .alias("rank"),
+            F.floor(F.col("cos") * 1e4 + F.lit(0.5)).cast("bigint").alias("cos_mil"),
+        )
+    )
+    return ranked
+
+
+def srp_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
+    """Signed-random-projection bucket id: sign bits of <v, plane_i>.
+
+    ``planes`` is (n_bits, dim) — deterministic (seeded) hyperplanes. The
+    expression is pure Column math (JVM) — each bit is a dot-product sign.
+    """
+    bit_cols = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col),
+                    F.array(*[F.lit(float(x)) for x in plane]),
+                    lambda a, b: a.cast("double") * b,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(F.lit(0))
+        for i, plane in enumerate(planes)
+    ]
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out + c
+    return out
+
+
+def cosine_topk_lsh(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int = 10,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate cosine top-k: SRP-bucket the corpus, search only the
+    query's bucket (plus hamming-1 neighbor buckets for recall).
+
+    At scale the bucket column is a partition/cluster key, so the search
+    reads a small slice of the corpus instead of scanning everything.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bucketed = emb.withColumn("bucket", srp_bucket_expr(vec_col, planes))
+    qrow = bucketed.where(F.col(id_col) == query_vec_id).select("bucket", F.col(vec_col).alias("qvec"))
+    # hamming<=1 neighborhood of the query bucket
+    neigh = qrow.select(
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
+            )
+        ).alias("bucket"),
+        "qvec",
+    )
+    cand = bucketed.where(F.col(id_col) != query_vec_id).join(F.broadcast(neigh), "bucket")
+    cos = _dot(F.col(vec_col), F.col("qvec")) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.row_number().over(Window.orderBy(F.desc("cos"), F.asc(id_col))).cast("int").alias("rank"),
+            F.floor(F.col("cos") * 1e4 + F.lit(0.5)).cast("bigint").alias("cos_mil"),
+        )
+    )

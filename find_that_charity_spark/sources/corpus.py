@@ -1,0 +1,69 @@
+"""Corpus reader abstraction (SURVEY.md §2C C1).
+
+Production input is an Iceberg table of Common-Crawl-style web pages
+(BASELINE.json input_hint):
+
+    web_pages(url string, warc_ts timestamp, html binary,
+              text string, lang string)
+
+In the sandbox there is no Iceberg runtime jar and no network, so the same
+schema is read from Parquet. One function hides the difference; everything
+downstream sees a DataFrame of the pinned schema. Catalyst prunes ``html``
+(usually the biggest column) whenever the plan doesn't reference it, and
+pushes ``lang``/``warc_ts`` predicates into Iceberg manifests / Parquet
+row-group stats — keep filters native and *before* any UDF so this works.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+WEB_PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), nullable=False),
+        StructField("warc_ts", TimestampType(), nullable=False),
+        StructField("html", BinaryType(), nullable=True),
+        StructField("text", StringType(), nullable=True),
+        StructField("lang", StringType(), nullable=True),
+    ]
+)
+
+
+def read_corpus(
+    spark: SparkSession,
+    source: str,
+    langs: list[str] | None = None,
+    ts_min: str | None = None,
+    ts_max: str | None = None,
+) -> DataFrame:
+    """Read the web_pages corpus from an Iceberg table or a Parquet path.
+
+    ``source`` containing ``/`` (a filesystem path) → Parquet; otherwise a
+    catalog table name → ``spark.read.table`` (Iceberg in prod). Optional
+    lang / warc_ts pushdown filters are applied natively so they reach the
+    scan (partition pruning on Iceberg, row-group stats on Parquet).
+    """
+    if "/" in source:
+        df = spark.read.schema(WEB_PAGES_SCHEMA).parquet(source)
+    else:
+        df = spark.read.table(source)
+    if langs:
+        df = df.where(F.col("lang").isin(langs))
+    if ts_min:
+        df = df.where(F.col("warc_ts") >= F.lit(ts_min).cast("timestamp"))
+    if ts_max:
+        df = df.where(F.col("warc_ts") < F.lit(ts_max).cast("timestamp"))
+    return df
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver fixture table (TESTDATA.md) by name."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
