@@ -38,9 +38,86 @@ from find_that_charity_spark.operators.relational import (
 from find_that_charity_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
 from find_that_charity_spark.sources.corpus import read_table
 
+import tempfile
+import zipfile
+
+from find_that_charity_spark.functions.analyzer import analyze_name
+from find_that_charity_spark.operators.build import BuildConfig, build_index
+from find_that_charity_spark.operators.query import run_queries
+
+# One segment index per sf_dir, built lazily and reused across gate queries.
+# id_buckets=1 makes the engine's internal doc ids coincide with the original
+# documents.doc_id order (urls are zero-padded doc ids), so BM25 score ties
+# break identically in the engine and the SQL oracle.
+_SEG_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_segment_index(spark: SparkSession, sf_dir: str) -> str:
+    if sf_dir not in _SEG_INDEX_CACHE:
+        idx = tempfile.mkdtemp(prefix="ftc_idx_")
+        docs = read_table(spark, sf_dir, "documents")
+        pages = docs.select(
+            F.format_string("doc://%08d", "doc_id").alias("url"),
+            F.lit("2024-01-01").cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+        build_index(
+            spark,
+            pages,
+            idx,
+            BuildConfig(num_buckets=8, id_buckets=1, max_postings_per_segment=5000),
+        )
+        _SEG_INDEX_CACHE[sf_dir] = idx
+    return _SEG_INDEX_CACHE[sf_dir]
+
+
+def _segment_topk(spark: SparkSession, sf_dir: str, text: str, mode: str, k: int = 10) -> DataFrame:
+    idx = _ensure_segment_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [("q1", text, k, mode)], "qid string, text string, k int, mode string"
+    )
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    return res.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Package shipping: executor Python workers must be able to import
+# find_that_charity_spark (our pandas UDFs are pickled by module reference).
+# When the driver process runs from a different cwd, plain imports fail on
+# workers — so ship the package as a zip via addPyFile, the same mechanism
+# spark-submit --py-files uses on a real cluster (BASELINE.json north_rule).
+# ---------------------------------------------------------------------------
+
+_PYFILES_SENT: set[str] = set()
+
+
+def _ensure_pyfiles(spark: SparkSession) -> None:
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SENT:
+        return
+    root = os.path.dirname(os.path.abspath(__file__))
+    zpath = os.path.join(tempfile.gettempdir(), f"ftc_engine_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(root, "find_that_charity_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(app_id)
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
+    _ensure_pyfiles(spark)
     docs = read_table(spark, "/root/testdata/sf0.001", "documents")
     return bm25_topk(docs, FLAGSHIP_QUERY, k=10)
 
@@ -242,8 +319,49 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, query_vec_id=0, k=10)
 
 
+def _q_segments_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full engine path: tokenize -> segments -> BMW top-k (SURVEY.md §2C/§2D)."""
+    return _segment_topk(spark, sf_dir, FLAGSHIP_QUERY, "freetext", k=10)
+
+
+def _q_segments_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recon-mode (A3): case-mangled entity-style lookup via analyze_name."""
+    return _segment_topk(spark, sf_dir, "CUSTOMER Query", "recon", k=10)
+
+
+def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build-side invariants: dictionary/posting totals vs raw recount."""
+    idx = _ensure_segment_index(spark, sf_dir)
+    dictionary = spark.read.parquet(f"{idx}/dictionary")
+    stats = spark.read.parquet(f"{idx}/corpus_stats")
+    d = dictionary.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_terms"),
+        F.sum("df").cast("bigint").alias("total_postings"),
+        F.sum("cf").cast("bigint").alias("total_tokens"),
+    )
+    return d.crossJoin(stats.select(F.col("n_docs").cast("bigint").alias("n_docs")))
+
+
+def _with_pyfiles(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _ensure_pyfiles(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        name: _with_pyfiles(fn)
+        for name, fn in _raw_queries().items()
+    }
+
+
+def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {
+        "bm25_segments_flagship": _q_segments_flagship,
+        "bm25_segments_recon": _q_segments_recon,
+        "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
         "bm25_topk_single_term": _q_bm25_single_term,
         "term_dictionary": _q_term_dictionary,
@@ -277,6 +395,18 @@ _TOKS = f"regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}')"
 
 def oracle_sql() -> dict[str, str]:
     return {
+        "bm25_segments_flagship": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "bm25_segments_recon": bm25_topk_sql("CUSTOMER Query", k=10, analyzer=analyze_name),
+        "index_stats": f"""
+            WITH toks AS (
+              SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ),
+            tf AS (SELECT term, doc_id FROM toks GROUP BY 1, 2)
+            SELECT (SELECT CAST(count(DISTINCT term) AS BIGINT) FROM toks) AS n_terms,
+                   (SELECT CAST(count(*) AS BIGINT) FROM tf) AS total_postings,
+                   (SELECT CAST(count(*) AS BIGINT) FROM toks) AS total_tokens,
+                   (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs
+        """,
         "bm25_topk_flagship": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_topk_single_term": bm25_topk_sql("customer", k=10),
         "term_dictionary": f"""

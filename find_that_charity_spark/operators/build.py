@@ -1,0 +1,368 @@
+"""Index build pipeline (SURVEY.md §2C, C1-C14).
+
+Dataflow (all DataFrame; Python only at Arrow pandas-UDF boundaries):
+
+    read_corpus -> dedup latest per url (C3) -> extract text (C2)
+      -> tokenize (C5, Arrow pandas UDF) -> deterministic doc_ids (C4)
+      -> docs table + corpus stats (C6)
+      -> posexplode -> tf per (term, doc) (C7, map-side partial agg)
+      -> term bucket + head-term salt (C8, explicit skew split)
+      -> applyInPandas encode segments (C9, numpy delta+varint+blockmax)
+      -> partitioned segment sink (C12) [chunked jobs -> resumable, C13]
+      -> compaction merge of small multi-segment terms (C10)
+      -> dictionary + manifest finalize (C11, C14)
+
+Skew handling (BASELINE.json north_rule: "salted repartition-by-term with
+explicit skew splitting for head terms"): a first aggregation counts
+postings per term; terms above ``max_postings_per_segment`` are split into
+S_t = ceil(count/max) contiguous doc_id ranges ("salts"). Each (bucket,
+salt) group therefore holds a bounded pandas DataFrame — AQE cannot see
+skew inside FlatMapGroupsInPandas, so this is done explicitly. Head terms
+legitimately remain sharded across segments (disjoint doc ranges, like
+Lucene's size-capped tiered merges); the query side treats a term's
+segments as one logical docID-sorted list. Compaction (C10) re-merges
+terms whose shards are small, so the common case is 1 segment/term.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from find_that_charity_spark.functions.analyzer import tokenize_udf
+from find_that_charity_spark.functions.codec import decode_postings, encode_postings
+from find_that_charity_spark.operators.dedup import dedup_latest_by_url
+from find_that_charity_spark.operators.doc_ids import assign_doc_ids
+from find_that_charity_spark.plans.checkpoint import Manifest
+from find_that_charity_spark.sources.corpus import read_corpus
+
+BLOCKMAX_TYPE = ArrayType(
+    StructType(
+        [
+            StructField("last_doc", LongType()),
+            StructField("max_tfnorm", DoubleType()),
+            StructField("offset", IntegerType()),
+            StructField("n", IntegerType()),
+        ]
+    )
+)
+
+SEGMENT_SCHEMA = StructType(
+    [
+        StructField("term", StringType()),
+        StructField("bucket", IntegerType()),
+        StructField("salt", IntegerType()),
+        StructField("seg_id", StringType()),
+        StructField("df", IntegerType()),
+        StructField("cf", LongType()),
+        StructField("min_doc", LongType()),
+        StructField("max_doc", LongType()),
+        StructField("postings", BinaryType()),
+        StructField("blockmax", BLOCKMAX_TYPE),
+    ]
+)
+
+
+@dataclass
+class BuildConfig:
+    num_buckets: int = 32          # term buckets (segment partition key)
+    id_buckets: int = 256          # doc_id assignment hash buckets
+    max_postings_per_segment: int = 1_000_000  # head-term split threshold
+    segment_chunks: int = 4        # resumable sink jobs (1 = single commit)
+    compact: bool = True
+
+
+def _extract_text() -> "F.Column":
+    """C2: prefer the extracted ``text`` column; fall back to a trivial
+    html-strip for rows where only ``html`` is present. Native expression
+    (the fixture html is a plain wrapper); a real boilerplate extractor
+    would be an Arrow pandas UDF here — the pinned-vs-vectorized
+    byte-identity test covers the tokenizer boundary either way."""
+    stripped = F.regexp_replace(F.decode(F.col("html"), "utf-8"), "<[^>]*>", "")
+    return F.coalesce(F.col("text"), stripped)
+
+
+def _encode_group(avgdl: float):
+    """C9: per-(bucket, salt) group -> one segment row per term."""
+
+    def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["term", "doc_id"], kind="mergesort")
+        bucket = int(pdf["bucket"].iloc[0])
+        salt = int(pdf["salt"].iloc[0])
+        seg_id = f"b{bucket:05d}s{salt:05d}"
+        terms = pdf["term"].to_numpy()
+        docs = pdf["doc_id"].to_numpy(dtype=np.int64)
+        tfs = pdf["tf"].to_numpy(dtype=np.int64)
+        dls = pdf["dl"].to_numpy(dtype=np.int64)
+        # term boundaries without per-row Python
+        change = np.flatnonzero(np.concatenate([[True], terms[1:] != terms[:-1]]))
+        bounds = np.concatenate([change, [len(terms)]])
+        out = []
+        for i in range(len(change)):
+            s, e = bounds[i], bounds[i + 1]
+            blob, bm = encode_postings(docs[s:e], tfs[s:e], dls[s:e], avgdl)
+            out.append(
+                (
+                    terms[s],
+                    bucket,
+                    salt,
+                    seg_id,
+                    int(e - s),
+                    int(tfs[s:e].sum()),
+                    int(docs[s]),
+                    int(docs[e - 1]),
+                    blob,
+                    [
+                        {"last_doc": ld, "max_tfnorm": ub, "offset": off, "n": n}
+                        for ld, ub, off, n in bm
+                    ],
+                )
+            )
+        return pd.DataFrame(out, columns=SEGMENT_SCHEMA.fieldNames())
+
+    return encode
+
+
+def _merge_group(avgdl: float):
+    """C10: merge one term's sub-segments (disjoint doc ranges) into one.
+
+    Sub-segments are decoded, concatenated in min_doc order, re-encoded.
+    Only invoked for terms whose total postings fit one segment."""
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) == 1:
+            return pdf[SEGMENT_SCHEMA.fieldNames()]
+        pdf = pdf.sort_values("min_doc")
+        docs_l, tfs_l, dls_l = [], [], []
+        for _, row in pdf.iterrows():
+            bm = [(b["last_doc"], b["max_tfnorm"], b["offset"], b["n"]) for b in row["blockmax"]]
+            d, t, dl = decode_postings(row["postings"], bm)
+            docs_l.append(d)
+            tfs_l.append(t)
+            dls_l.append(dl)
+        docs = np.concatenate(docs_l)
+        tfs = np.concatenate(tfs_l)
+        dls = np.concatenate(dls_l)
+        blob, bm = encode_postings(docs, tfs, dls, avgdl)
+        first = pdf.iloc[0]
+        return pd.DataFrame(
+            [
+                (
+                    first["term"],
+                    int(first["bucket"]),
+                    0,
+                    f"b{int(first['bucket']):05d}m",
+                    int(len(docs)),
+                    int(tfs.sum()),
+                    int(docs[0]),
+                    int(docs[-1]),
+                    blob,
+                    [
+                        {"last_doc": ld, "max_tfnorm": ub, "offset": off, "n": n}
+                        for ld, ub, off, n in bm
+                    ],
+                )
+            ],
+            columns=SEGMENT_SCHEMA.fieldNames(),
+        )
+
+    return merge
+
+
+def build_index(
+    spark: SparkSession,
+    corpus_source: str | DataFrame,
+    index_dir: str,
+    config: BuildConfig | None = None,
+) -> dict:
+    """Build the full inverted index under ``index_dir``. Resumable: rerun
+    after interruption and completed units are skipped (manifest).
+
+    ``corpus_source``: Iceberg table name / parquet path, or a prepared
+    DataFrame in the web_pages schema."""
+    cfg = config or BuildConfig()
+    mf = Manifest(index_dir)
+    metrics: dict = {}
+
+    if isinstance(corpus_source, DataFrame):
+        corpus = corpus_source
+        corpus_source_name = "<dataframe>"
+    else:
+        corpus = read_corpus(spark, corpus_source)
+        corpus_source_name = corpus_source
+
+    # ---- stage: docs (C2-C6) -------------------------------------------
+    tokenized = None
+    if not mf.is_done("docs"):
+        t0 = time.time()
+        deduped = dedup_latest_by_url(corpus)
+        extracted = deduped.select(
+            "url", "warc_ts", "lang", _extract_text().alias("text")
+        )
+        tokenized = extracted.select(
+            "url", "warc_ts", "lang", tokenize_udf("text").alias("tokens")
+        )
+        with_ids = assign_doc_ids(tokenized, key="url", num_buckets=cfg.id_buckets)
+        tokenized = with_ids.withColumn("doc_len", F.size("tokens").cast("int")).persist()
+        docs = tokenized.select("doc_id", "url", "warc_ts", "lang", "doc_len")
+        docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+        stats_row = tokenized.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").cast("long").alias("total_len"),
+            F.avg("doc_len").alias("avgdl"),
+        ).collect()[0]
+        spark.createDataFrame([stats_row]).write.mode("overwrite").parquet(
+            f"{index_dir}/corpus_stats"
+        )
+        mf.mark_done(
+            "docs",
+            n_docs=stats_row["n_docs"],
+            total_len=stats_row["total_len"],
+            wall_s=round(time.time() - t0, 3),
+            input=corpus_source_name,
+        )
+
+    stats = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+    avgdl = float(stats["avgdl"])
+    n_docs = int(stats["n_docs"])
+    metrics["n_docs"] = n_docs
+    metrics["avgdl"] = avgdl
+
+    # ---- stage: segments (C7-C9, C12) ----------------------------------
+    def tf_table() -> DataFrame:
+        nonlocal tokenized
+        if tokenized is None:
+            # resume path: re-derive tokens deterministically, join ids back
+            deduped = dedup_latest_by_url(corpus)
+            extracted = deduped.select("url", _extract_text().alias("text"))
+            toks = extracted.select("url", tokenize_udf("text").alias("tokens"))
+            ids = spark.read.parquet(f"{index_dir}/docs").select("url", "doc_id", "doc_len")
+            tokenized_local = toks.join(ids, "url")
+        else:
+            tokenized_local = tokenized
+        tf = (
+            tokenized_local.select(
+                "doc_id",
+                F.col("doc_len").alias("dl"),
+                F.explode("tokens").alias("term"),
+            )
+            .groupBy("term", "doc_id", "dl")
+            .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        )
+        return tf
+
+    pending_chunks = [c for c in range(cfg.segment_chunks) if not mf.is_done("segments", str(c))]
+    if pending_chunks:
+        tf = None
+        for chunk in pending_chunks:
+            if tf is None:
+                tf = tf_table().withColumn(
+                    "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int")
+                )
+                # C8 pass 1: postings count per term -> head-term split spans
+                term_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+                heads = term_counts.where(F.col("cnt") > cfg.max_postings_per_segment)
+                head_rows = heads.collect()
+                if head_rows:
+                    spans = [
+                        (
+                            r["term"],
+                            int(np.ceil((n_docs) / np.ceil(r["cnt"] / cfg.max_postings_per_segment))),
+                        )
+                        for r in head_rows
+                    ]
+                    spans_df = spark.createDataFrame(spans, "term string, span long")
+                    tf = tf.join(F.broadcast(spans_df), "term", "left").withColumn(
+                        "salt",
+                        F.coalesce(
+                            F.floor(F.col("doc_id") / F.col("span")), F.lit(0)
+                        ).cast("int"),
+                    ).drop("span")
+                else:
+                    tf = tf.withColumn("salt", F.lit(0).cast("int"))
+                tf = tf.persist()
+                metrics["n_head_terms"] = len(head_rows)
+            t0 = time.time()
+            lo = chunk * cfg.num_buckets // cfg.segment_chunks
+            hi = (chunk + 1) * cfg.num_buckets // cfg.segment_chunks
+            part = tf.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
+            segs = part.groupBy("bucket", "salt").applyInPandas(
+                _encode_group(avgdl), SEGMENT_SCHEMA
+            )
+            segs.write.mode("overwrite").partitionBy("bucket").parquet(
+                f"{index_dir}/segments_raw/chunk={chunk}"
+            )
+            written = spark.read.parquet(f"{index_dir}/segments_raw/chunk={chunk}")
+            agg = written.agg(
+                F.count(F.lit(1)).alias("n_segments"),
+                F.sum("df").alias("n_postings"),
+                F.countDistinct("term").alias("n_terms"),
+            ).collect()[0]
+            mf.mark_done(
+                "segments",
+                str(chunk),
+                buckets=f"[{lo},{hi})",
+                n_segments=int(agg["n_segments"]),
+                n_postings=int(agg["n_postings"] or 0),
+                n_terms=int(agg["n_terms"]),
+                wall_s=round(time.time() - t0, 3),
+            )
+        if tf is not None:
+            tf.unpersist()
+    if tokenized is not None:
+        tokenized.unpersist()
+
+    # ---- stage: compact (C10) ------------------------------------------
+    if not mf.is_done("compact"):
+        t0 = time.time()
+        raw = spark.read.option("basePath", f"{index_dir}/segments_raw").parquet(
+            f"{index_dir}/segments_raw/chunk=*"
+        ).drop("chunk")
+        if cfg.compact:
+            seg_sizes = raw.groupBy("term").agg(
+                F.count(F.lit(1)).alias("n_seg"), F.sum("df").alias("total_df")
+            )
+            mergeable = seg_sizes.where(
+                (F.col("n_seg") > 1) & (F.col("total_df") <= cfg.max_postings_per_segment)
+            ).select("term")
+            to_merge = raw.join(F.broadcast(mergeable), "term")
+            untouched = raw.join(F.broadcast(mergeable), "term", "left_anti")
+            merged = to_merge.groupBy("term").applyInPandas(_merge_group(avgdl), SEGMENT_SCHEMA)
+            final = untouched.select(SEGMENT_SCHEMA.fieldNames()).unionByName(
+                merged.select(SEGMENT_SCHEMA.fieldNames())
+            )
+        else:
+            final = raw.select(SEGMENT_SCHEMA.fieldNames())
+        final.write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/segments")
+        mf.mark_done("compact", wall_s=round(time.time() - t0, 3))
+
+    # ---- stage: dictionary (C11) ----------------------------------------
+    if not mf.is_done("dictionary"):
+        t0 = time.time()
+        segs = spark.read.parquet(f"{index_dir}/segments")
+        dictionary = segs.groupBy("term", "bucket").agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+        )
+        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+        n_terms = spark.read.parquet(f"{index_dir}/dictionary").count()
+        mf.mark_done("dictionary", n_terms=n_terms, wall_s=round(time.time() - t0, 3))
+        metrics["n_terms"] = n_terms
+
+    return metrics

@@ -1,0 +1,262 @@
+"""Query-side operators (SURVEY.md §2D, D1-D7).
+
+Batch top-k retrieval over the segment index:
+
+    queries -> analyze (D1, mode-aware Arrow UDF) -> explode terms
+      -> broadcast-join dictionary (D2)
+      -> partition-pruned segment fetch, bucket IN-list (D3, no shuffle)
+      -> groupBy(qid) applyInPandas: decode + Block-Max WAND + BM25 (D4)
+      -> deterministic top-k order (D5, B4) -> optional url join-back (D6)
+
+Block-Max WAND here is a *window-sweep* variant, chosen so the Python side
+stays numpy-vectorized: doc-id space is swept in windows delimited by the
+union of all cursors' block boundaries (every 128 postings — BASELINE.json
+north_star). For each window the sum of the active blocks' upper bounds
+(idf * stored max_tfnorm, exact per block) is compared with the current
+top-k threshold θ; windows that can't beat θ are skipped WITHOUT decoding
+— the same skip decision Ding & Suel's document-at-a-time BMW makes at
+block granularity [public: Ding & Suel, SIGIR 2011] — and windows that
+survive are decoded and scored as numpy batches. Exactness (same doc_ids,
+order, scores as exhaustive scoring) is a tested property, not a hope:
+tests/test_index_query.py.
+"""
+
+from __future__ import annotations
+
+import heapq
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from find_that_charity_spark.functions.analyzer import tokenize_name_udf, tokenize_udf
+from find_that_charity_spark.functions.bm25 import idf_np
+from find_that_charity_spark.functions.codec import decode_block
+
+RESULTS_SCHEMA = StructType(
+    [
+        StructField("qid", StringType()),
+        StructField("rank", IntegerType()),
+        StructField("doc_id", LongType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+
+@dataclass
+class _Cursor:
+    """One (term, segment) posting-list cursor over block metadata."""
+
+    idf: float
+    blob: bytes
+    last_docs: np.ndarray  # per block
+    ubs: np.ndarray        # idf * max_tfnorm per block
+    offsets: np.ndarray
+    ns: np.ndarray
+    first_docs: np.ndarray  # first doc of each block (prev block's last + delta unknown -> lower bound prev_last+1)
+    blk: int = 0           # current block index
+
+    def n_blocks(self) -> int:
+        return len(self.last_docs)
+
+
+def _make_cursor(idf: float, blob: bytes, blockmax) -> _Cursor:
+    last_docs = np.array([b["last_doc"] for b in blockmax], dtype=np.int64)
+    ubs = idf * np.array([b["max_tfnorm"] for b in blockmax], dtype=np.float64)
+    offsets = np.array([b["offset"] for b in blockmax], dtype=np.int64)
+    ns = np.array([b["n"] for b in blockmax], dtype=np.int64)
+    # block i covers (prev_last, last]; first possible doc = prev_last + 1
+    first_docs = np.empty_like(last_docs)
+    first_docs[0] = 0
+    first_docs[1:] = last_docs[:-1] + 1
+    return _Cursor(idf, blob, last_docs, ubs, offsets, ns, first_docs)
+
+
+def score_postings_exhaustive(
+    cursors: list[_Cursor], k: int, avgdl: float
+) -> list[tuple[int, float]]:
+    """Decode everything, score everything — the pruning-free twin."""
+    from find_that_charity_spark.functions.codec import tfnorm as _tfn
+
+    all_docs, all_scores = [], []
+    for c in cursors:
+        prev = 0
+        for i in range(c.n_blocks()):
+            docs, tfs, dls = decode_block(c.blob, int(c.offsets[i]), int(c.ns[i]), prev)
+            prev = int(c.last_docs[i])
+            all_docs.append(docs)
+            all_scores.append(c.idf * _tfn(tfs, dls.astype(np.float64), avgdl))
+    if not all_docs:
+        return []
+    docs = np.concatenate(all_docs)
+    scores = np.concatenate(all_scores)
+    uniq, inv = np.unique(docs, return_inverse=True)
+    total = np.zeros(len(uniq))
+    np.add.at(total, inv, scores)
+    order = np.lexsort((uniq, -total))[:k]
+    return [(int(uniq[i]), float(total[i])) for i in order]
+
+
+def score_query_bmw(
+    cursors: list[_Cursor], k: int, avgdl: float
+) -> list[tuple[int, float]]:
+    """Window-sweep Block-Max WAND: exact top-k with block skipping."""
+    from find_that_charity_spark.functions.codec import tfnorm as _tfn
+
+    if not cursors or k <= 0:
+        return []
+    # window boundaries: union of all block last_docs
+    boundaries = np.unique(np.concatenate([c.last_docs for c in cursors]))
+    heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
+    decoded_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+
+    lo = 0  # current window start (doc id)
+    for hi in boundaries:
+        # collect cursors whose current block intersects [lo, hi]
+        active = []
+        ub_sum = 0.0
+        for ci, c in enumerate(cursors):
+            while c.blk < c.n_blocks() and c.last_docs[c.blk] < lo:
+                c.blk += 1
+            if c.blk < c.n_blocks() and c.first_docs[c.blk] <= hi:
+                active.append((ci, c))
+                ub_sum += c.ubs[c.blk]
+        if not active:
+            lo = int(hi) + 1
+            continue
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        if ub_sum <= theta:
+            lo = int(hi) + 1
+            continue
+        # decode + slice postings within [lo, hi]
+        win_docs, win_scores = [], []
+        for ci, c in active:
+            key = (ci, c.blk)
+            if key not in decoded_cache:
+                prev = int(c.last_docs[c.blk - 1]) if c.blk > 0 else 0
+                docs, tfs, dls = decode_block(
+                    c.blob, int(c.offsets[c.blk]), int(c.ns[c.blk]), prev
+                )
+                decoded_cache[key] = (docs, c.idf * _tfn(tfs, dls.astype(np.float64), avgdl))
+                if len(decoded_cache) > 64:
+                    # bound memory: drop blocks before current window
+                    decoded_cache = {
+                        kk: vv for kk, vv in decoded_cache.items() if vv[0][-1] >= lo
+                    }
+            docs, scores = decoded_cache[key]
+            s = np.searchsorted(docs, lo, side="left")
+            e = np.searchsorted(docs, hi, side="right")
+            if s < e:
+                win_docs.append(docs[s:e])
+                win_scores.append(scores[s:e])
+        if win_docs:
+            docs = np.concatenate(win_docs)
+            scores = np.concatenate(win_scores)
+            uniq, inv = np.unique(docs, return_inverse=True)
+            total = np.zeros(len(uniq))
+            np.add.at(total, inv, scores)
+            for d, sc in zip(uniq.tolist(), total.tolist()):
+                entry = (sc, -d)
+                if len(heap) < k:
+                    heapq.heappush(heap, entry)
+                elif entry > heap[0]:
+                    heapq.heapreplace(heap, entry)
+        lo = int(hi) + 1
+
+    out = sorted(heap, key=lambda e: (-e[0], -e[1]))
+    return [(-d, s) for s, d in out]
+
+
+def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
+    """applyInPandas scorer over per-qid groups of (term, segment) rows."""
+
+    def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        qid = pdf["qid"].iloc[0]
+        k = int(pdf["k"].iloc[0])
+        cursors: list[_Cursor] = []
+        for term, grp in pdf.groupby("term", sort=True):
+            idf = float(idf_np(float(n_docs), float(grp["df"].iloc[0])))
+            for _, row in grp.sort_values("min_doc").iterrows():
+                cursors.append(_make_cursor(idf, row["postings"], row["blockmax"]))
+        if use_bmw:
+            top = score_query_bmw(cursors, k, avgdl)
+        else:
+            top = score_postings_exhaustive(cursors, k, avgdl)
+        return pd.DataFrame(
+            {
+                "qid": qid,
+                "rank": np.arange(1, len(top) + 1, dtype=np.int32),
+                "doc_id": np.array([d for d, _ in top], dtype=np.int64),
+                "score": np.array([s for _, s in top], dtype=np.float64),
+            }
+        )
+
+    return score
+
+
+def load_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
+    row = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+    return int(row["n_docs"]), float(row["avgdl"])
+
+
+def run_queries(
+    spark: SparkSession,
+    index_dir: str,
+    queries_df: DataFrame,
+    use_bmw: bool = True,
+    join_urls: bool = False,
+) -> DataFrame:
+    """Answer a batch of queries (qid, text, k, mode) against the index.
+
+    Returns (qid, rank, doc_id, score[, url]) — deterministic order within
+    qid by (score DESC, doc_id ASC).
+    """
+    n_docs, avgdl = load_stats(spark, index_dir)
+
+    analyzed = queries_df.select(
+        "qid",
+        F.col("k").cast("int").alias("k"),
+        F.when(F.col("mode") == "recon", tokenize_name_udf("text"))
+        .otherwise(tokenize_udf("text"))
+        .alias("terms"),
+    )
+    qterms = analyzed.select("qid", "k", F.explode("terms").alias("term")).dropDuplicates(
+        ["qid", "term"]
+    )
+
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    # D2: the query-term set is tiny — broadcast it against the dictionary
+    matched = dictionary.join(F.broadcast(qterms), "term").select(
+        "qid", "k", "term", F.col("df").alias("df_global"), "bucket"
+    )
+    buckets = [r["bucket"] for r in matched.select("bucket").distinct().collect()]
+    if not buckets:
+        return spark.createDataFrame([], RESULTS_SCHEMA)
+
+    # D3: bucket IN-list reaches the parquet scan as a partition filter
+    segments = spark.read.parquet(f"{index_dir}/segments").where(
+        F.col("bucket").isin(buckets)
+    )
+    rows = segments.join(
+        F.broadcast(matched.drop("bucket")),
+        "term",
+    ).select(
+        "qid", "k", "term", F.col("df_global").alias("df"), "min_doc", "postings", "blockmax"
+    )
+
+    scorer = make_query_scorer(n_docs, avgdl, use_bmw=use_bmw)
+    results = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA)
+    if join_urls:
+        docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        results = results.join(docs, "doc_id").select("qid", "rank", "doc_id", "url", "score")
+    return results

@@ -103,9 +103,9 @@ def bm25_topk(
     return ranked
 
 
-def bm25_topk_sql(query_text: str, k: int = 10, table: str = "documents") -> str:
+def bm25_topk_sql(query_text: str, k: int = 10, table: str = "documents", analyzer=analyze) -> str:
     """DuckDB oracle twin of :func:`bm25_topk` — same math, same aliases."""
-    terms = sorted(set(analyze(query_text)))
+    terms = sorted(set(analyzer(query_text)))
     terms_list = ", ".join(f"('{t}')" for t in terms)
     score_expr = bm25_sql(tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl")
     return f"""
