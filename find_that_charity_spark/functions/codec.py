@@ -13,12 +13,18 @@ inlined (Lucene's norms analog) so query-time scoring never joins a
 10^12-row doc-length table.
 
 The blockmax entry per block carries:
-    last_doc    -- last doc id in the block (skip pointer)
-    max_tfnorm  -- max over the block of tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl))
-                   i.e. the dl-aware BM25 tf-normalization; the query-time
-                   upper bound is idf(t) * max_tfnorm (exact, per-block)
-    offset      -- byte offset of the block in the blob (direct slicing)
-    n           -- postings in the block
+    last_doc -- last doc id in the block (skip pointer)
+    max_tf   -- max term frequency in the block
+    min_dl   -- min doc length in the block
+    offset   -- byte offset of the block in the blob (direct slicing)
+    n        -- postings in the block
+
+The query-time upper bound is idf(t) * tfnorm(max_tf, min_dl, avgdl):
+tfnorm is increasing in tf and decreasing in dl, so this dominates every
+true posting score in the block for ANY avgdl — which keeps Block-Max
+WAND pruning safe even after incremental appends shift corpus stats
+(streaming/incremental.py), unlike a bound precomputed with build-time
+avgdl.
 
 Everything is numpy-vectorized (no per-posting Python in encode; decode's
 only loop is over the <=10 varint byte positions).
@@ -94,12 +100,12 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
 
 
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray, avgdl: float
-) -> tuple[bytes, list[tuple[int, float, int, int]]]:
+    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+) -> tuple[bytes, list[tuple[int, int, int, int, int]]]:
     """Encode one docID-sorted posting list.
 
     Returns (blob, blockmax) where blockmax is a list of
-    (last_doc, max_tfnorm, offset, n) per block of <=128 postings.
+    (last_doc, max_tf, min_dl, offset, n) per block of <=128 postings.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
@@ -113,10 +119,8 @@ def encode_postings(
     deltas[0] = doc_ids[0]
     deltas[1:] = np.diff(doc_ids).astype(np.uint64)
 
-    norms = tfnorm(tfs, dls.astype(np.float64), avgdl)
-
     parts: list[bytes] = []
-    blockmax: list[tuple[int, float, int, int]] = []
+    blockmax: list[tuple[int, int, int, int, int]] = []
     offset = 0
     for s in range(0, n, BLOCK_SIZE):
         e = min(s + BLOCK_SIZE, n)
@@ -126,7 +130,9 @@ def encode_postings(
             + varint_encode(dls[s:e].astype(np.uint64))
         )
         parts.append(blk)
-        blockmax.append((int(doc_ids[e - 1]), float(norms[s:e].max()), offset, e - s))
+        blockmax.append(
+            (int(doc_ids[e - 1]), int(tfs[s:e].max()), int(dls[s:e].min()), offset, e - s)
+        )
         offset += len(blk)
     return b"".join(parts), blockmax
 
@@ -153,12 +159,12 @@ def decode_block(
 
 
 def decode_postings(
-    blob: bytes | memoryview, blockmax: list[tuple[int, float, int, int]]
+    blob: bytes | memoryview, blockmax: list[tuple[int, int, int, int, int]]
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode a full posting list (all blocks)."""
     docs_l, tfs_l, dls_l = [], [], []
     prev = 0
-    for last_doc, _ub, offset, n in blockmax:
+    for last_doc, _max_tf, _min_dl, offset, n in blockmax:
         d, t, dl = decode_block(blob, offset, n, prev)
         assert d[-1] == last_doc, "corrupt block: last_doc mismatch"
         docs_l.append(d)

@@ -26,6 +26,8 @@ terms whose shards are small, so the common case is 1 segment/term.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -55,7 +57,8 @@ BLOCKMAX_TYPE = ArrayType(
     StructType(
         [
             StructField("last_doc", LongType()),
-            StructField("max_tfnorm", DoubleType()),
+            StructField("max_tf", IntegerType()),
+            StructField("min_dl", IntegerType()),
             StructField("offset", IntegerType()),
             StructField("n", IntegerType()),
         ]
@@ -97,7 +100,7 @@ def _extract_text() -> "F.Column":
     return F.coalesce(F.col("text"), stripped)
 
 
-def _encode_group(avgdl: float):
+def _encode_group():
     """C9: per-(bucket, salt) group -> one segment row per term."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -115,7 +118,7 @@ def _encode_group(avgdl: float):
         out = []
         for i in range(len(change)):
             s, e = bounds[i], bounds[i + 1]
-            blob, bm = encode_postings(docs[s:e], tfs[s:e], dls[s:e], avgdl)
+            blob, bm = encode_postings(docs[s:e], tfs[s:e], dls[s:e])
             out.append(
                 (
                     terms[s],
@@ -128,8 +131,8 @@ def _encode_group(avgdl: float):
                     int(docs[e - 1]),
                     blob,
                     [
-                        {"last_doc": ld, "max_tfnorm": ub, "offset": off, "n": n}
-                        for ld, ub, off, n in bm
+                        {"last_doc": ld, "max_tf": mt, "min_dl": md, "offset": off, "n": n}
+                        for ld, mt, md, off, n in bm
                     ],
                 )
             )
@@ -138,7 +141,7 @@ def _encode_group(avgdl: float):
     return encode
 
 
-def _merge_group(avgdl: float):
+def _merge_group():
     """C10: merge one term's sub-segments (disjoint doc ranges) into one.
 
     Sub-segments are decoded, concatenated in min_doc order, re-encoded.
@@ -150,7 +153,10 @@ def _merge_group(avgdl: float):
         pdf = pdf.sort_values("min_doc")
         docs_l, tfs_l, dls_l = [], [], []
         for _, row in pdf.iterrows():
-            bm = [(b["last_doc"], b["max_tfnorm"], b["offset"], b["n"]) for b in row["blockmax"]]
+            bm = [
+                (b["last_doc"], b["max_tf"], b["min_dl"], b["offset"], b["n"])
+                for b in row["blockmax"]
+            ]
             d, t, dl = decode_postings(row["postings"], bm)
             docs_l.append(d)
             tfs_l.append(t)
@@ -158,7 +164,7 @@ def _merge_group(avgdl: float):
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
-        blob, bm = encode_postings(docs, tfs, dls, avgdl)
+        blob, bm = encode_postings(docs, tfs, dls)
         first = pdf.iloc[0]
         return pd.DataFrame(
             [
@@ -173,8 +179,8 @@ def _merge_group(avgdl: float):
                     int(docs[-1]),
                     blob,
                     [
-                        {"last_doc": ld, "max_tfnorm": ub, "offset": off, "n": n}
-                        for ld, ub, off, n in bm
+                        {"last_doc": ld, "max_tf": mt, "min_dl": md, "offset": off, "n": n}
+                        for ld, mt, md, off, n in bm
                     ],
                 )
             ],
@@ -182,6 +188,43 @@ def _merge_group(avgdl: float):
         )
 
     return merge
+
+
+def compact_segments(
+    spark: SparkSession, index_dir: str, max_postings_per_segment: int
+) -> int:
+    """C10 — Lucene-merge analog, standalone maintenance operation.
+
+    Terms whose sub-segments (from salting or streaming appends) together
+    fit one segment are decoded, concatenated in doc order and re-encoded;
+    everything else is untouched. When nothing is mergeable (the common
+    case right after a batch build, where multi-segment terms exceed the
+    cap by construction) this is metadata-only — no copy of the segment
+    store. Returns the number of terms consolidated."""
+    raw = spark.read.option("basePath", f"{index_dir}/segments").parquet(
+        f"{index_dir}/segments/chunk=*"
+    ).drop("chunk")
+    seg_sizes = raw.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.sum("df").alias("total_df")
+    )
+    mergeable = seg_sizes.where(
+        (F.col("n_seg") > 1) & (F.col("total_df") <= max_postings_per_segment)
+    ).select("term")
+    n_merged = mergeable.count()
+    if n_merged > 0:
+        to_merge = raw.join(F.broadcast(mergeable), "term")
+        untouched = raw.join(F.broadcast(mergeable), "term", "left_anti")
+        merged = to_merge.groupBy("term").applyInPandas(_merge_group(), SEGMENT_SCHEMA)
+        final = untouched.select(SEGMENT_SCHEMA.fieldNames()).unionByName(
+            merged.select(SEGMENT_SCHEMA.fieldNames())
+        )
+        # keep the uniform segments/chunk=*/bucket=* layout so later
+        # streaming appends (new chunk dirs) discover consistently
+        tmp = f"{index_dir}/segments_compacted"
+        final.write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/chunk=0")
+        shutil.rmtree(f"{index_dir}/segments")
+        os.rename(tmp, f"{index_dir}/segments")
+    return n_merged
 
 
 def build_index(
@@ -206,21 +249,44 @@ def build_index(
         corpus = read_corpus(spark, corpus_source)
         corpus_source_name = corpus_source
 
-    # ---- stage: docs (C2-C6) -------------------------------------------
-    tokenized = None
-    if not mf.is_done("docs"):
+    # ---- stage: tokenized (C2-C5) ----------------------------------------
+    # One pass over the corpus: dedup -> extract -> deterministic ids ->
+    # tokenize -> write a TRANSIENT tokenized table. Everything downstream
+    # (docs, stats, postings) is a column-pruned read of this table — the
+    # expensive tokenizer UDF runs exactly once, nothing is cached in
+    # executor memory, and resume gets tokens for free.
+    if not mf.is_done("tokenized"):
         t0 = time.time()
         deduped = dedup_latest_by_url(corpus)
+        # drop html before the id-assignment shuffle (it's usually the
+        # widest column); extraction keeps only the text we index
         extracted = deduped.select(
             "url", "warc_ts", "lang", _extract_text().alias("text")
         )
-        tokenized = extracted.select(
-            "url", "warc_ts", "lang", tokenize_udf("text").alias("tokens")
+        # ids BEFORE tokenization: the bucket-count job inside
+        # assign_doc_ids then scans only (url, warc_ts) — column pruning —
+        # instead of running the tokenizer UDF twice over the whole corpus
+        with_ids = assign_doc_ids(extracted, key="url", num_buckets=cfg.id_buckets)
+        (
+            with_ids.select(
+                "doc_id", "url", "warc_ts", "lang", tokenize_udf("text").alias("tokens")
+            )
+            .withColumn("doc_len", F.size("tokens").cast("int"))
+            .write.mode("overwrite")
+            .parquet(f"{index_dir}/tokenized")
         )
-        with_ids = assign_doc_ids(tokenized, key="url", num_buckets=cfg.id_buckets)
-        tokenized = with_ids.withColumn("doc_len", F.size("tokens").cast("int")).persist()
-        docs = tokenized.select("doc_id", "url", "warc_ts", "lang", "doc_len")
-        docs.write.mode("overwrite").parquet(f"{index_dir}/docs")
+        mf.mark_done(
+            "tokenized", wall_s=round(time.time() - t0, 3), input=corpus_source_name
+        )
+
+    tokenized = spark.read.parquet(f"{index_dir}/tokenized")
+
+    # ---- stage: docs + stats (C6) ----------------------------------------
+    if not mf.is_done("docs"):
+        t0 = time.time()
+        tokenized.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/docs")
         stats_row = tokenized.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_len").cast("long").alias("total_len"),
@@ -234,7 +300,6 @@ def build_index(
             n_docs=stats_row["n_docs"],
             total_len=stats_row["total_len"],
             wall_s=round(time.time() - t0, 3),
-            input=corpus_source_name,
         )
 
     stats = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
@@ -245,18 +310,9 @@ def build_index(
 
     # ---- stage: segments (C7-C9, C12) ----------------------------------
     def tf_table() -> DataFrame:
-        nonlocal tokenized
-        if tokenized is None:
-            # resume path: re-derive tokens deterministically, join ids back
-            deduped = dedup_latest_by_url(corpus)
-            extracted = deduped.select("url", _extract_text().alias("text"))
-            toks = extracted.select("url", tokenize_udf("text").alias("tokens"))
-            ids = spark.read.parquet(f"{index_dir}/docs").select("url", "doc_id", "doc_len")
-            tokenized_local = toks.join(ids, "url")
-        else:
-            tokenized_local = tokenized
-        tf = (
-            tokenized_local.select(
+        # column-pruned read of the tokenized table (doc_id, doc_len, tokens)
+        return (
+            tokenized.select(
                 "doc_id",
                 F.col("doc_len").alias("dl"),
                 F.explode("tokens").alias("term"),
@@ -264,7 +320,6 @@ def build_index(
             .groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         )
-        return tf
 
     pending_chunks = [c for c in range(cfg.segment_chunks) if not mf.is_done("segments", str(c))]
     if pending_chunks:
@@ -302,12 +357,12 @@ def build_index(
             hi = (chunk + 1) * cfg.num_buckets // cfg.segment_chunks
             part = tf.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
             segs = part.groupBy("bucket", "salt").applyInPandas(
-                _encode_group(avgdl), SEGMENT_SCHEMA
+                _encode_group(), SEGMENT_SCHEMA
             )
             segs.write.mode("overwrite").partitionBy("bucket").parquet(
-                f"{index_dir}/segments_raw/chunk={chunk}"
+                f"{index_dir}/segments/chunk={chunk}"
             )
-            written = spark.read.parquet(f"{index_dir}/segments_raw/chunk={chunk}")
+            written = spark.read.parquet(f"{index_dir}/segments/chunk={chunk}")
             agg = written.agg(
                 F.count(F.lit(1)).alias("n_segments"),
                 F.sum("df").alias("n_postings"),
@@ -324,32 +379,16 @@ def build_index(
             )
         if tf is not None:
             tf.unpersist()
-    if tokenized is not None:
-        tokenized.unpersist()
 
     # ---- stage: compact (C10) ------------------------------------------
     if not mf.is_done("compact"):
         t0 = time.time()
-        raw = spark.read.option("basePath", f"{index_dir}/segments_raw").parquet(
-            f"{index_dir}/segments_raw/chunk=*"
-        ).drop("chunk")
-        if cfg.compact:
-            seg_sizes = raw.groupBy("term").agg(
-                F.count(F.lit(1)).alias("n_seg"), F.sum("df").alias("total_df")
-            )
-            mergeable = seg_sizes.where(
-                (F.col("n_seg") > 1) & (F.col("total_df") <= cfg.max_postings_per_segment)
-            ).select("term")
-            to_merge = raw.join(F.broadcast(mergeable), "term")
-            untouched = raw.join(F.broadcast(mergeable), "term", "left_anti")
-            merged = to_merge.groupBy("term").applyInPandas(_merge_group(avgdl), SEGMENT_SCHEMA)
-            final = untouched.select(SEGMENT_SCHEMA.fieldNames()).unionByName(
-                merged.select(SEGMENT_SCHEMA.fieldNames())
-            )
-        else:
-            final = raw.select(SEGMENT_SCHEMA.fieldNames())
-        final.write.mode("overwrite").partitionBy("bucket").parquet(f"{index_dir}/segments")
-        mf.mark_done("compact", wall_s=round(time.time() - t0, 3))
+        n_merged = (
+            compact_segments(spark, index_dir, cfg.max_postings_per_segment)
+            if cfg.compact
+            else 0
+        )
+        mf.mark_done("compact", n_terms_merged=n_merged, wall_s=round(time.time() - t0, 3))
 
     # ---- stage: dictionary (C11) ----------------------------------------
     if not mf.is_done("dictionary"):

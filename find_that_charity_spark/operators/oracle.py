@@ -26,15 +26,24 @@ def brute_force_topk(
     k: int = 10,
     analyzer: Callable[[str], list[str]] = analyze,
     query_analyzer: Callable[[str], list[str]] | None = None,
+    conjunctive: bool = False,
 ) -> list[tuple[int, float]]:
     """Exhaustive BM25 top-k: [(doc_id, score)] by (score DESC, doc_id ASC).
 
-    Documents with score 0 (no query term present) are excluded, matching
-    OR-semantics retrieval (B5) — an ES ``match`` query never returns
-    non-matching docs.
+    OR semantics by default (B5): documents with no query term are never
+    returned (ES ``match``). ``conjunctive=True`` requires every positive
+    term (ES bool must); query words prefixed ``-`` are exclusions (D7,
+    ES bool must_not). A required term absent from the corpus -> no hits.
     """
     qa = query_analyzer or analyzer
-    terms = sorted(set(qa(query_text)))
+    pos_terms: set[str] = set()
+    neg_terms: set[str] = set()
+    for word in (query_text or "").split():
+        if word.startswith("-"):
+            neg_terms.update(qa(word[1:]))
+        else:
+            pos_terms.update(qa(word))
+    terms = sorted(pos_terms)
     tokenized = [analyzer(t) for t in texts]
     dls = np.array([len(t) for t in tokenized], dtype=np.float64)
     n = len(tokenized)
@@ -45,15 +54,25 @@ def brute_force_topk(
     counters = [Counter(t) for t in tokenized]
     scores = np.zeros(n, dtype=np.float64)
     matched = np.zeros(n, dtype=bool)
+    n_terms_matched = np.zeros(n, dtype=np.int64)
     for term in terms:
         tf = np.array([c.get(term, 0) for c in counters], dtype=np.float64)
         df = int((tf > 0).sum())
         if df == 0:
+            if conjunctive:
+                return []
             continue
         idf = idf_np(float(n), float(df))
         contrib = np.where(tf > 0, bm25_term_score_np(tf, dls, idf, avgdl), 0.0)
         scores += contrib
         matched |= tf > 0
+        n_terms_matched += (tf > 0).astype(np.int64)
+
+    if conjunctive:
+        matched &= n_terms_matched == len(terms)
+    for term in sorted(neg_terms):
+        has = np.array([c.get(term, 0) > 0 for c in counters], dtype=bool)
+        matched &= ~has
 
     ids = np.asarray(doc_ids)
     sel = np.flatnonzero(matched)

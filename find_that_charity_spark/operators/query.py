@@ -70,9 +70,16 @@ class _Cursor:
         return len(self.last_docs)
 
 
-def _make_cursor(idf: float, blob: bytes, blockmax) -> _Cursor:
+def _make_cursor(idf: float, blob: bytes, blockmax, avgdl: float) -> _Cursor:
+    from find_that_charity_spark.functions.codec import tfnorm as _tfn
+
     last_docs = np.array([b["last_doc"] for b in blockmax], dtype=np.int64)
-    ubs = idf * np.array([b["max_tfnorm"] for b in blockmax], dtype=np.float64)
+    # avgdl-independent stored stats -> bound computed with CURRENT stats:
+    # tfnorm is increasing in tf, decreasing in dl, so idf*tfnorm(max_tf,
+    # min_dl) dominates every true posting score in the block.
+    max_tfs = np.array([b["max_tf"] for b in blockmax], dtype=np.float64)
+    min_dls = np.array([b["min_dl"] for b in blockmax], dtype=np.float64)
+    ubs = idf * _tfn(max_tfs, min_dls, avgdl)
     offsets = np.array([b["offset"] for b in blockmax], dtype=np.int64)
     ns = np.array([b["n"] for b in blockmax], dtype=np.int64)
     # block i covers (prev_last, last]; first possible doc = prev_last + 1
@@ -82,29 +89,8 @@ def _make_cursor(idf: float, blob: bytes, blockmax) -> _Cursor:
     return _Cursor(idf, blob, last_docs, ubs, offsets, ns, first_docs)
 
 
-def score_postings_exhaustive(
-    cursors: list[_Cursor], k: int, avgdl: float
-) -> list[tuple[int, float]]:
-    """Decode everything, score everything — the pruning-free twin."""
-    from find_that_charity_spark.functions.codec import tfnorm as _tfn
-
-    all_docs, all_scores = [], []
-    for c in cursors:
-        prev = 0
-        for i in range(c.n_blocks()):
-            docs, tfs, dls = decode_block(c.blob, int(c.offsets[i]), int(c.ns[i]), prev)
-            prev = int(c.last_docs[i])
-            all_docs.append(docs)
-            all_scores.append(c.idf * _tfn(tfs, dls.astype(np.float64), avgdl))
-    if not all_docs:
-        return []
-    docs = np.concatenate(all_docs)
-    scores = np.concatenate(all_scores)
-    uniq, inv = np.unique(docs, return_inverse=True)
-    total = np.zeros(len(uniq))
-    np.add.at(total, inv, scores)
-    order = np.lexsort((uniq, -total))[:k]
-    return [(int(uniq[i]), float(total[i])) for i in order]
+# The exhaustive (pruning-free) twin of BMW is score_boolean in OR mode —
+# decode everything, unique+accumulate, top-k. Reached via use_bmw=False.
 
 
 def score_query_bmw(
@@ -177,21 +163,119 @@ def score_query_bmw(
     return [(-d, s) for s, d in out]
 
 
+def _decode_cursor_full(c: _Cursor, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one cursor completely -> (docs, per-posting BM25 scores)."""
+    from find_that_charity_spark.functions.codec import tfnorm as _tfn
+
+    docs_l, score_l = [], []
+    prev = 0
+    for i in range(c.n_blocks()):
+        docs, tfs, dls = decode_block(c.blob, int(c.offsets[i]), int(c.ns[i]), prev)
+        prev = int(c.last_docs[i])
+        docs_l.append(docs)
+        score_l.append(c.idf * _tfn(tfs, dls.astype(np.float64), avgdl))
+    return np.concatenate(docs_l), np.concatenate(score_l)
+
+
+def _member_mask(sorted_haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
+    """Membership of needles in a sorted array via searchsorted (the
+    vectorized form of galloping intersection — SURVEY.md §2D D7)."""
+    if sorted_haystack.size == 0:
+        return np.zeros(needles.shape, dtype=bool)
+    idx = np.searchsorted(sorted_haystack, needles)
+    idx[idx == sorted_haystack.size] = sorted_haystack.size - 1
+    return sorted_haystack[idx] == needles
+
+
+def score_boolean(
+    term_lists: dict[str, tuple[np.ndarray, np.ndarray]],
+    conjunctive: bool,
+    neg_docs: np.ndarray,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exact boolean scoring: AND = intersection driven by the rarest term
+    (searchsorted membership), OR = unique+accumulate; NOT = exclusion set.
+    All docID-sorted numpy, no per-posting Python."""
+    if not term_lists:
+        return []
+    if conjunctive:
+        by_rarity = sorted(term_lists.values(), key=lambda t: t[0].size)
+        base = by_rarity[0][0]
+        for docs, _ in by_rarity[1:]:
+            base = base[_member_mask(docs, base)]
+            if base.size == 0:
+                return []
+        total = np.zeros(base.size)
+        for docs, scores in term_lists.values():
+            idx = np.searchsorted(docs, base)
+            total += scores[idx]
+        uniq = base
+    else:
+        docs = np.concatenate([d for d, _ in term_lists.values()])
+        scores = np.concatenate([s for _, s in term_lists.values()])
+        uniq, inv = np.unique(docs, return_inverse=True)
+        total = np.zeros(len(uniq))
+        np.add.at(total, inv, scores)
+    if neg_docs.size:
+        keep = ~_member_mask(neg_docs, uniq)
+        uniq, total = uniq[keep], total[keep]
+    order = np.lexsort((uniq, -total))[:k]
+    return [(int(uniq[i]), float(total[i])) for i in order]
+
+
 def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
-    """applyInPandas scorer over per-qid groups of (term, segment) rows."""
+    """applyInPandas scorer over per-qid groups of (term, segment) rows.
+
+    Pure-OR queries go through Block-Max WAND; conjunctive ('bool_and')
+    and exclusion ('-term') queries use the galloping-intersect path —
+    itself sublinear for AND, since the rarest term drives the scan."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         qid = pdf["qid"].iloc[0]
         k = int(pdf["k"].iloc[0])
-        cursors: list[_Cursor] = []
-        for term, grp in pdf.groupby("term", sort=True):
+        mode = pdf["mode"].iloc[0]
+        conjunctive = mode == "bool_and"
+        pos = pdf[~pdf["neg"]]
+        negs = pdf[pdf["neg"]]
+        empty = pd.DataFrame(
+            {"qid": pd.Series([], dtype=str), "rank": pd.Series([], dtype=np.int32),
+             "doc_id": pd.Series([], dtype=np.int64), "score": pd.Series([], dtype=np.float64)}
+        )
+        if pos.empty:
+            return empty
+        if conjunctive:
+            n_required = int(pdf["n_required"].iloc[0])
+            if pos["term"].nunique() < n_required:
+                return empty  # a required term is absent from the corpus
+
+        def cursors_of(grp: pd.DataFrame) -> list[_Cursor]:
             idf = float(idf_np(float(n_docs), float(grp["df"].iloc[0])))
-            for _, row in grp.sort_values("min_doc").iterrows():
-                cursors.append(_make_cursor(idf, row["postings"], row["blockmax"]))
-        if use_bmw:
-            top = score_query_bmw(cursors, k, avgdl)
+            return [
+                _make_cursor(idf, row["postings"], row["blockmax"], avgdl)
+                for _, row in grp.sort_values("min_doc").iterrows()
+            ]
+
+        if conjunctive or not negs.empty or not use_bmw:
+            term_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+            for term, grp in pos.groupby("term", sort=True):
+                parts = [_decode_cursor_full(c, avgdl) for c in cursors_of(grp)]
+                term_lists[term] = (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                )
+            neg_docs_l = []
+            for term, grp in negs.groupby("term", sort=True):
+                for c in cursors_of(grp):
+                    neg_docs_l.append(_decode_cursor_full(c, avgdl)[0])
+            neg_docs = (
+                np.unique(np.concatenate(neg_docs_l)) if neg_docs_l else np.empty(0, np.int64)
+            )
+            top = score_boolean(term_lists, conjunctive, neg_docs, k)
         else:
-            top = score_postings_exhaustive(cursors, k, avgdl)
+            cursors: list[_Cursor] = []
+            for term, grp in pos.groupby("term", sort=True):
+                cursors.extend(cursors_of(grp))
+            top = score_query_bmw(cursors, k, avgdl)
         return pd.DataFrame(
             {
                 "qid": qid,
@@ -223,25 +307,58 @@ def run_queries(
     """
     n_docs, avgdl = load_stats(spark, index_dir)
 
-    analyzed = queries_df.select(
+    # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
+    # mode 'bool_and' makes every positive term required (conjunctive).
+    words = queries_df.select(
         "qid",
         F.col("k").cast("int").alias("k"),
-        F.when(F.col("mode") == "recon", tokenize_name_udf("text"))
-        .otherwise(tokenize_udf("text"))
+        "mode",
+        F.explode(F.split("text", r"\s+")).alias("word"),
+    ).where(F.col("word") != "")
+    words = words.select(
+        "qid",
+        "k",
+        "mode",
+        F.col("word").startswith("-").alias("neg"),
+        F.regexp_replace("word", r"^-", "").alias("wtext"),
+    )
+    analyzed = words.select(
+        "qid",
+        "k",
+        "mode",
+        "neg",
+        F.when(F.col("mode") == "recon", tokenize_name_udf("wtext"))
+        .otherwise(tokenize_udf("wtext"))
         .alias("terms"),
     )
-    qterms = analyzed.select("qid", "k", F.explode("terms").alias("term")).dropDuplicates(
-        ["qid", "term"]
+    qterms = (
+        analyzed.select("qid", "k", "mode", "neg", F.explode("terms").alias("term"))
+        .groupBy("qid", "term")
+        .agg(
+            F.first("k").alias("k"),
+            F.first("mode").alias("mode"),
+            F.max("neg").alias("neg"),  # a term both included and negated -> negated
+        )
     )
 
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     # D2: the query-term set is tiny — broadcast it against the dictionary
     matched = dictionary.join(F.broadcast(qterms), "term").select(
-        "qid", "k", "term", F.col("df").alias("df_global"), "bucket"
+        "qid", "k", "mode", "neg", "term", F.col("df").alias("df_global"), "bucket"
     )
     buckets = [r["bucket"] for r in matched.select("bucket").distinct().collect()]
     if not buckets:
         return spark.createDataFrame([], RESULTS_SCHEMA)
+
+    # conjunctive semantics: a required term absent from the dictionary
+    # means zero results for that query — track required-term counts so the
+    # scorer can detect the short-fall (the join above drops missing terms)
+    required = (
+        qterms.where(~F.col("neg"))
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_required"))
+    )
+    matched = matched.join(F.broadcast(required), "qid", "left")
 
     # D3: bucket IN-list reaches the parquet scan as a partition filter
     segments = spark.read.parquet(f"{index_dir}/segments").where(
@@ -251,7 +368,8 @@ def run_queries(
         F.broadcast(matched.drop("bucket")),
         "term",
     ).select(
-        "qid", "k", "term", F.col("df_global").alias("df"), "min_doc", "postings", "blockmax"
+        "qid", "k", "mode", "neg", "n_required", "term",
+        F.col("df_global").alias("df"), "min_doc", "postings", "blockmax",
     )
 
     scorer = make_query_scorer(n_docs, avgdl, use_bmw=use_bmw)

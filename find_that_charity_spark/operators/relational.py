@@ -103,11 +103,30 @@ def bm25_topk(
     return ranked
 
 
-def bm25_topk_sql(query_text: str, k: int = 10, table: str = "documents", analyzer=analyze) -> str:
-    """DuckDB oracle twin of :func:`bm25_topk` — same math, same aliases."""
-    terms = sorted(set(analyzer(query_text)))
+def bm25_topk_sql(
+    query_text: str,
+    k: int = 10,
+    table: str = "documents",
+    analyzer=analyze,
+    conjunctive: bool = False,
+) -> str:
+    """DuckDB oracle twin of :func:`bm25_topk` / the segment engine — same
+    math, same aliases. Supports D7 semantics: ``conjunctive`` requires all
+    positive terms; query words prefixed ``-`` become exclusions."""
+    pos: set[str] = set()
+    neg: set[str] = set()
+    for word in query_text.split():
+        (neg if word.startswith("-") else pos).update(analyzer(word.lstrip("-")))
+    terms = sorted(pos)
     terms_list = ", ".join(f"('{t}')" for t in terms)
     score_expr = bm25_sql(tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl")
+    having = f"HAVING count(DISTINCT tf.term) = {len(terms)}" if conjunctive else ""
+    neg_filter = ""
+    if neg:
+        neg_list = ", ".join(f"'{t}'" for t in sorted(neg))
+        neg_filter = (
+            f"AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({neg_list}))"
+        )
     return f"""
 WITH toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
@@ -122,7 +141,9 @@ scored AS (
   SELECT tf.doc_id, sum({score_expr}) AS score
   FROM tf JOIN q USING (term) JOIN d ON tf.term = d.term
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN s
+  WHERE 1=1 {neg_filter}
   GROUP BY tf.doc_id
+  {having}
 )
 SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,

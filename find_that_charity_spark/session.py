@@ -8,8 +8,37 @@ cluster conf and these builder calls are no-ops for already-set keys.
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
+
+_PYFILES_SENT: set[str] = set()
+
+
+def ensure_pyfiles(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via addPyFile.
+
+    Our pandas UDFs are pickled by module reference, so workers must be
+    able to import ``find_that_charity_spark`` regardless of the driver's
+    cwd. This is the same mechanism as ``spark-submit --py-files
+    ftc_engine.zip`` (BASELINE.json north_rule); under spark-submit the
+    call is a harmless no-op re-add."""
+    app_id = spark.sparkContext.applicationId
+    if app_id in _PYFILES_SENT:
+        return
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zpath = os.path.join(tempfile.gettempdir(), f"ftc_engine_{os.getpid()}.zip")
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            pkg = os.path.join(root, "find_that_charity_spark")
+            for dirpath, _dirs, files in os.walk(pkg):
+                for fn in files:
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        z.write(full, os.path.relpath(full, root))
+    spark.sparkContext.addPyFile(zpath)
+    _PYFILES_SENT.add(app_id)
 
 
 def get_spark(
@@ -39,4 +68,6 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    ensure_pyfiles(spark)
+    return spark

@@ -46,16 +46,22 @@ def _vocab() -> list[str]:
     return [f"w{i:04d}" for i in range(VOCAB_SIZE)]
 
 
-def _mangle(rng: np.random.Generator, tok: str) -> str:
-    """Inject case/punctuation noise (10% of tokens) to exercise B1."""
-    r = rng.integers(0, 4)
-    if r == 0:
-        return tok.upper()
-    if r == 1:
-        return tok.capitalize() + ","
-    if r == 2:
-        return tok + "."
-    return "(" + tok + ")"
+def _mangle_tokens(rng: np.random.Generator, tokens: np.ndarray) -> np.ndarray:
+    """Inject case/punctuation noise into ~10% of tokens (vectorized)."""
+    out = tokens.astype(object)
+    mask = rng.random(len(tokens)) < 0.10
+    styles = rng.integers(0, 4, size=len(tokens))
+    sel = lambda s: mask & (styles == s)  # noqa: E731
+    for s, fn in (
+        (0, lambda t: np.char.upper(t.astype(str))),
+        (1, lambda t: np.char.add(np.char.capitalize(t.astype(str)), ",")),
+        (2, lambda t: np.char.add(t.astype(str), ".")),
+        (3, lambda t: np.char.add(np.char.add("(", t.astype(str)), ")")),
+    ):
+        idx = np.flatnonzero(sel(s))
+        if idx.size:
+            out[idx] = fn(out[idx])
+    return out
 
 
 def synth_web_pages(n_docs: int, seed: int = SEED) -> pd.DataFrame:
@@ -96,17 +102,17 @@ def synth_web_pages(n_docs: int, seed: int = SEED) -> pd.DataFrame:
     langs = rng.choice(LANGS, size=n_docs, p=LANG_P)
     ts_incr = rng.exponential(3600.0, size=n_docs).cumsum()
 
+    mangled = _mangle_tokens(rng, vocab[flat])
+    entity_of_doc: dict[int, str] = {
+        i: name for name, docs in entity_docs.items() for i in docs
+    }
     urls, texts, tss, lang_col = [], [], [], []
     for i in range(n_docs):
-        toks = vocab[flat[offsets[i] : offsets[i + 1]]].tolist()
-        # 10% token mangling
-        for j in range(len(toks)):
-            if rng.random() < 0.10:
-                toks[j] = _mangle(rng, toks[j])
-        for name, docs in entity_docs.items():
-            if i in docs:
-                pos = int(rng.integers(0, len(toks) + 1))
-                toks[pos:pos] = name.split()
+        toks = mangled[offsets[i] : offsets[i + 1]].tolist()
+        name = entity_of_doc.get(i)
+        if name is not None:
+            pos = int(rng.integers(0, len(toks) + 1))
+            toks[pos:pos] = name.split()
         urls.append(f"https://{hosts[i]}/p/{i:08d}")
         texts.append(" ".join(toks))
         tss.append(_BASE_TS + timedelta(seconds=float(ts_incr[i])))

@@ -1,0 +1,130 @@
+"""Incremental index refresh via Structured Streaming (SURVEY.md §2E E15).
+
+The core build is batch (like the reference's register-sync -> ES reindex),
+but a web-scale corpus grows continuously; this module appends newly
+crawled pages to an existing index without rebuilding it:
+
+    readStream (new web_pages files / Iceberg incremental scan)
+      -> Trigger.AvailableNow (drain what exists, then stop)
+      -> foreachBatch:
+           dedup within batch (latest warc_ts per url)
+           anti-join docs table (urls already indexed are skipped —
+             late re-crawls of known urls are ignored, the batch build's
+             dedup-keeps-latest applies only within one build)
+           assign doc_ids continuing after the current max (deterministic
+             within a batch: same hash-bucket + url-order scheme)
+           tokenize -> tf -> encode -> append as NEW segment rows
+             (Lucene-flush analog: one new segment generation per batch)
+           append docs rows; refresh corpus_stats and dictionary
+
+Scoring note: the codec stores avgdl-independent per-block stats (max_tf,
+min_dl), so appended segments need no re-encode when corpus stats move —
+after ``refresh_stats`` both scoring and WAND bounds use the current
+(n_docs, avgdl) and exact-BM25-vs-oracle equality holds again (tested:
+tests/test_streaming.py). Between appends and refresh, queries see the
+old stats — the same drift Lucene/ES tolerate between refreshes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from find_that_charity_spark.functions.analyzer import tokenize_udf
+from find_that_charity_spark.operators.build import SEGMENT_SCHEMA, _encode_group
+from find_that_charity_spark.operators.dedup import dedup_latest_by_url
+from find_that_charity_spark.operators.doc_ids import assign_doc_ids
+from find_that_charity_spark.plans.checkpoint import Manifest
+from find_that_charity_spark.sources.corpus import WEB_PAGES_SCHEMA
+
+
+def _append_batch(
+    spark: SparkSession, batch_df: DataFrame, epoch_id: int, index_dir: str, num_buckets: int
+) -> None:
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    base_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+
+    fresh = dedup_latest_by_url(batch_df).join(
+        docs.select("url"), "url", "left_anti"
+    )
+    if fresh.isEmpty():
+        return
+    tokenized = fresh.select(
+        "url", "warc_ts", "lang", tokenize_udf(F.col("text")).alias("tokens")
+    )
+    with_ids = assign_doc_ids(tokenized, key="url", num_buckets=64).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(base_id)
+    )
+    # localCheckpoint (eager) truncates lineage BEFORE the docs append below:
+    # the plan anti-joins against the docs parquet, so a lazy recompute after
+    # the append would see its own output and emit an empty batch.
+    with_len = with_ids.withColumn("doc_len", F.size("tokens").cast("int")).localCheckpoint()
+
+    with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
+        "append"
+    ).parquet(f"{index_dir}/docs")
+
+    tf = (
+        with_len.select("doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("term"))
+        .groupBy("term", "doc_id", "dl")
+        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
+        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
+        .withColumn("salt", F.lit(1000 + epoch_id).cast("int"))  # segment generation tag
+    )
+    segs = tf.groupBy("bucket", "salt").applyInPandas(_encode_group(), SEGMENT_SCHEMA)
+    segs.write.mode("append").partitionBy("bucket").parquet(
+        f"{index_dir}/segments/chunk=stream{epoch_id}"
+    )
+
+    Manifest(index_dir).mark_done("stream_batch", str(epoch_id))
+
+
+def refresh_stats(spark: SparkSession, index_dir: str) -> None:
+    """Recompute corpus_stats and dictionary after appends."""
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_len").cast("long").alias("total_len"),
+        F.avg("doc_len").alias("avgdl"),
+    )
+    stats.write.mode("overwrite").parquet(f"{index_dir}/corpus_stats_new")
+    spark.read.parquet(f"{index_dir}/corpus_stats_new").write.mode("overwrite").parquet(
+        f"{index_dir}/corpus_stats"
+    )
+    segs = spark.read.parquet(f"{index_dir}/segments")
+    dictionary = segs.groupBy("term", "bucket").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cf").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+    )
+    dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary_new")
+    spark.read.parquet(f"{index_dir}/dictionary_new").write.mode("overwrite").parquet(
+        f"{index_dir}/dictionary"
+    )
+
+
+def incremental_refresh(
+    spark: SparkSession,
+    stream_source_dir: str,
+    index_dir: str,
+    num_buckets: int = 32,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Drain new corpus files into the index (Trigger.AvailableNow), then
+    refresh global stats. Idempotent per-source-file via the streaming
+    checkpoint; rank-exactness restored by refresh_stats at the end."""
+    stream = (
+        spark.readStream.schema(WEB_PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 4)
+        .parquet(stream_source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(
+            lambda df, epoch: _append_batch(spark, df, epoch, index_dir, num_buckets)
+        )
+        .option("checkpointLocation", checkpoint_dir or f"{index_dir}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    refresh_stats(spark, index_dir)

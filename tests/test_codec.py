@@ -72,7 +72,7 @@ def test_postings_roundtrip_lengths(n):
     docs = np.sort(rng.choice(10 * n + 10, size=n, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 50, size=n).astype(np.int64)
     dls = rng.integers(8, 500, size=n).astype(np.int64)
-    blob, bm = encode_postings(docs, tfs, dls, avgdl=64.0)
+    blob, bm = encode_postings(docs, tfs, dls)
     assert len(bm) == (n + BLOCK_SIZE - 1) // BLOCK_SIZE
     d, t, dl = decode_postings(blob, bm)
     assert np.array_equal(d, docs)
@@ -81,7 +81,7 @@ def test_postings_roundtrip_lengths(n):
 
 
 def test_postings_empty():
-    blob, bm = encode_postings(np.array([], dtype=np.int64), np.array([]), np.array([]), 64.0)
+    blob, bm = encode_postings(np.array([], dtype=np.int64), np.array([]), np.array([]))
     assert blob == b"" and bm == []
     d, t, dl = decode_postings(blob, bm)
     assert d.size == 0
@@ -91,7 +91,7 @@ def test_postings_max_gap():
     docs = np.array([0, 2**31, 2**53], dtype=np.int64)
     tfs = np.array([1, 1, 1], dtype=np.int64)
     dls = np.array([10, 10, 10], dtype=np.int64)
-    blob, bm = encode_postings(docs, tfs, dls, avgdl=10.0)
+    blob, bm = encode_postings(docs, tfs, dls)
     d, _, _ = decode_postings(blob, bm)
     assert np.array_equal(d, docs)
 
@@ -104,9 +104,9 @@ def test_block_decode_by_offset():
     docs = np.sort(rng.choice(100000, size=n, replace=False)).astype(np.int64)
     tfs = rng.integers(1, 9, size=n).astype(np.int64)
     dls = rng.integers(8, 120, size=n).astype(np.int64)
-    blob, bm = encode_postings(docs, tfs, dls, avgdl=60.0)
+    blob, bm = encode_postings(docs, tfs, dls)
     prev = 0
-    for i, (last_doc, _ub, off, cnt) in enumerate(bm):
+    for i, (last_doc, _mt, _md, off, cnt) in enumerate(bm):
         d, t, dl = decode_block(blob, off, cnt, prev)
         s = i * BLOCK_SIZE
         assert np.array_equal(d, docs[s : s + cnt])
@@ -116,23 +116,25 @@ def test_block_decode_by_offset():
 
 
 def test_blockmax_upper_bound_property():
-    """stored max_tfnorm * idf >= any true block score, over a seeded grid
-    of (N, df, avgdl) (FIXTURES.md §4)."""
+    """idf * tfnorm(max_tf, min_dl, avgdl) >= any true block score for ANY
+    (N, df, avgdl) — the property that keeps BMW pruning exact even when
+    corpus stats drift after incremental appends (FIXTURES.md §4)."""
     rng = np.random.default_rng(42)
     for _case in range(50):
         n = int(rng.integers(1, 700))
         docs = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
         tfs = (rng.zipf(1.5, size=n) % 100 + 1).astype(np.int64)
         dls = rng.integers(8, 1000, size=n).astype(np.int64)
-        avgdl = float(rng.uniform(20, 500))
-        blob, bm = encode_postings(docs, tfs, dls, avgdl)
-        norms = tfnorm(tfs, dls.astype(float), avgdl)
-        for grid in range(3):
+        blob, bm = encode_postings(docs, tfs, dls)
+        for _grid in range(3):
             n_docs = float(rng.integers(n, 10**9))
             df = float(rng.integers(1, n_docs))
+            avgdl = float(rng.uniform(20, 500))
             idf = idf_np(n_docs, df)
             true = bm25_term_score_np(tfs.astype(float), dls.astype(float), idf, avgdl)
-            for i, (_ld, ub, _off, cnt) in enumerate(bm):
+            for i, (_ld, max_tf, min_dl, _off, cnt) in enumerate(bm):
                 s = i * BLOCK_SIZE
-                assert ub * idf >= true[s : s + cnt].max() - 1e-12
-                assert ub == pytest.approx(norms[s : s + cnt].max())
+                ub = idf * tfnorm(np.array([max_tf]), np.array([float(min_dl)]), avgdl)[0]
+                assert ub >= true[s : s + cnt].max() - 1e-12
+                assert max_tf == tfs[s : s + cnt].max()
+                assert min_dl == dls[s : s + cnt].min()

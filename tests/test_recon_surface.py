@@ -1,0 +1,69 @@
+"""Reference app surface (A3/A5/A6): recon endpoint shape, suggest,
+add-to-csv — over a small built index."""
+
+from __future__ import annotations
+
+import pytest
+
+from find_that_charity_spark.operators.build import BuildConfig, build_index
+from find_that_charity_spark.operators.recon import add_to_csv, reconcile, suggest
+from find_that_charity_spark.sources.synth import ENTITY_NAMES, write_fixture
+
+
+@pytest.fixture(scope="module")
+def index(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("recon")
+    fx, idx = str(root / "fx"), str(root / "idx")
+    write_fixture(spark, fx, 300)
+    build_index(spark, f"{fx}/web_pages.parquet", idx,
+                BuildConfig(num_buckets=8, id_buckets=8, segment_chunks=1))
+    return idx
+
+
+def test_reconcile_shape_and_hits(spark, index):
+    batch = {
+        "q0": {"query": ENTITY_NAMES[0], "limit": 5},
+        "q1": {"query": "Bromley RELIEF Fund", "limit": 3},
+        "q2": {"query": "zzz-no-such-entity", "limit": 5},
+    }
+    out = reconcile(spark, index, batch)
+    assert set(out) == {"q0", "q1", "q2"}
+    for qid in out:
+        assert "result" in out[qid]
+        for hit in out[qid]["result"]:
+            assert set(hit) == {"id", "name", "score", "match"}
+            assert hit["id"].startswith("https://")
+    assert len(out["q0"]["result"]) == 5
+    assert len(out["q1"]["result"]) == 3
+    assert out["q2"]["result"] == []
+    # scores descend; at most one match=True, and only at rank 1
+    for qid in ("q0", "q1"):
+        scores = [h["score"] for h in out[qid]["result"]]
+        assert scores == sorted(scores, reverse=True)
+        matches = [h["match"] for h in out[qid]["result"]]
+        assert sum(matches) <= 1
+        if any(matches):
+            assert matches[0]
+
+
+def test_suggest(spark, index):
+    out = suggest(spark, index, "w00", k=5)
+    assert len(out) == 5
+    assert all(s["text"].startswith("w00") for s in out)
+    dfs = [s["df"] for s in out]
+    assert dfs == sorted(dfs, reverse=True)
+    assert suggest(spark, index, "zzzz") == []
+
+
+def test_add_to_csv(spark, index):
+    user = spark.createDataFrame(
+        [("r1", ENTITY_NAMES[0]), ("r2", "acme charitable trust"), ("r3", "qqqq zzzz")],
+        "row_id string, org_name string",
+    )
+    out = add_to_csv(spark, index, user, "org_name").collect()
+    by_id = {r["row_id"]: r for r in out}
+    assert len(out) == 3
+    assert by_id["r1"]["match_url"] is not None
+    assert by_id["r1"]["match_url"] == by_id["r2"]["match_url"]  # same entity
+    assert by_id["r3"]["match_url"] is None
+    assert by_id["r1"]["match_score"] > 0

@@ -60,8 +60,7 @@ def test_resume_recomputes_only_pending(spark, fixture_dir, tmp_path_factory):
     with open(mf.path, "w") as f:
         for e in keep:
             f.write(json.dumps(e) + "\n")
-    shutil.rmtree(f"{idx_int}/segments_raw/chunk=1")
-    shutil.rmtree(f"{idx_int}/segments")
+    shutil.rmtree(f"{idx_int}/segments/chunk=1")
     shutil.rmtree(f"{idx_int}/dictionary")
 
     build_index(spark, src, idx_int, CFG)
