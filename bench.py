@@ -72,13 +72,18 @@ def engine_bench(spark) -> dict:
     run_queries(spark, idx, qdf).collect()
     batch_wall = time.perf_counter() - t1
 
+    # latency regime: warm IndexSearcher (cached dictionary/stats), one
+    # query per round trip — the BASELINE.md 'warm index' protocol
+    from find_that_charity_spark.operators.query import IndexSearcher
+
+    searcher = IndexSearcher(spark, idx)
     rows = qdf.collect()
     lat = []
-    for r in rows[:20]:  # latency sample: 20 single-query round trips
-        one = spark.createDataFrame([r], qdf.schema)
+    for r in rows[:20]:
         t = time.perf_counter()
-        run_queries(spark, idx, one).collect()
+        searcher.search(r["text"], k=int(r["k"]), mode=r["mode"])
         lat.append((time.perf_counter() - t) * 1000)
+    searcher.close()
     lat_a = np.array(lat)
     return {
         "build_n_docs": metrics["n_docs"],

@@ -163,18 +163,39 @@ def score_query_bmw(
     return [(-d, s) for s, d in out]
 
 
-def _decode_cursor_full(c: _Cursor, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
-    """Decode one cursor completely -> (docs, per-posting BM25 scores)."""
+def _decode_cursor_range(
+    c: _Cursor, avgdl: float, lo: int | None = None, hi: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """Decode one cursor -> (docs, per-posting BM25 scores), optionally
+    restricted to doc range [lo, hi) using block skip pointers (only
+    overlapping blocks are decoded)."""
     from find_that_charity_spark.functions.codec import tfnorm as _tfn
 
     docs_l, score_l = [], []
     prev = 0
     for i in range(c.n_blocks()):
+        last = int(c.last_docs[i])
+        first_possible = prev + 1 if i > 0 else 0
+        if (hi is not None and first_possible >= hi) or (lo is not None and last < lo):
+            prev = last
+            continue
         docs, tfs, dls = decode_block(c.blob, int(c.offsets[i]), int(c.ns[i]), prev)
-        prev = int(c.last_docs[i])
-        docs_l.append(docs)
-        score_l.append(c.idf * _tfn(tfs, dls.astype(np.float64), avgdl))
+        prev = last
+        scores = c.idf * _tfn(tfs, dls.astype(np.float64), avgdl)
+        if lo is not None or hi is not None:
+            s = np.searchsorted(docs, lo) if lo is not None else 0
+            e = np.searchsorted(docs, hi) if hi is not None else docs.size
+            docs, scores = docs[s:e], scores[s:e]
+        if docs.size:
+            docs_l.append(docs)
+            score_l.append(scores)
+    if not docs_l:
+        return np.empty(0, np.int64), np.empty(0, np.float64)
     return np.concatenate(docs_l), np.concatenate(score_l)
+
+
+def _decode_cursor_full(c: _Cursor, avgdl: float) -> tuple[np.ndarray, np.ndarray]:
+    return _decode_cursor_range(c, avgdl)
 
 
 def _member_mask(sorted_haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
@@ -235,6 +256,10 @@ def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
         k = int(pdf["k"].iloc[0])
         mode = pdf["mode"].iloc[0]
         conjunctive = mode == "bool_and"
+        # sharded mode: this group covers one doc range of one query
+        lo = int(pdf["range_lo"].iloc[0]) if "range_lo" in pdf.columns else None
+        hi = int(pdf["range_hi"].iloc[0]) if "range_hi" in pdf.columns else None
+        sharded = lo is not None
         pos = pdf[~pdf["neg"]]
         negs = pdf[pdf["neg"]]
         empty = pd.DataFrame(
@@ -255,18 +280,21 @@ def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
                 for _, row in grp.sort_values("min_doc").iterrows()
             ]
 
-        if conjunctive or not negs.empty or not use_bmw:
+        if conjunctive or not negs.empty or sharded or not use_bmw:
             term_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for term, grp in pos.groupby("term", sort=True):
-                parts = [_decode_cursor_full(c, avgdl) for c in cursors_of(grp)]
+                parts = [_decode_cursor_range(c, avgdl, lo, hi) for c in cursors_of(grp)]
+                docs_cat = np.concatenate([p[0] for p in parts])
+                if sharded and docs_cat.size == 0 and conjunctive:
+                    return empty  # required term absent from this doc range
                 term_lists[term] = (
-                    np.concatenate([p[0] for p in parts]),
+                    docs_cat,
                     np.concatenate([p[1] for p in parts]),
                 )
             neg_docs_l = []
             for term, grp in negs.groupby("term", sort=True):
                 for c in cursors_of(grp):
-                    neg_docs_l.append(_decode_cursor_full(c, avgdl)[0])
+                    neg_docs_l.append(_decode_cursor_range(c, avgdl, lo, hi)[0])
             neg_docs = (
                 np.unique(np.concatenate(neg_docs_l)) if neg_docs_l else np.empty(0, np.int64)
             )
@@ -293,17 +321,92 @@ def load_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
     return int(row["n_docs"]), float(row["avgdl"])
 
 
+class IndexSearcher:
+    """Warm-index, low-latency search handle (the interactive regime).
+
+    ``run_queries`` is the throughput path: it re-reads dictionary/stats
+    and runs analyzer UDF + broadcast-join jobs per batch — right for big
+    batches, wasteful for one query. This handle caches corpus stats on
+    the driver and pins the dictionary in executor memory once, then
+    serves each query with two jobs: an in-memory dictionary probe and
+    the pruned-scan scoring job. p50/p99 latency in BENCH uses this,
+    matching the BASELINE.md 'warm index' protocol (and Elasticsearch,
+    which the reference queries, is likewise a warm long-lived service).
+    """
+
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.index_dir = index_dir
+        self.n_docs, self.avgdl = load_stats(spark, index_dir)
+        self.dictionary = (
+            spark.read.parquet(f"{index_dir}/dictionary")
+            .select("term", "bucket", "df")
+            .persist()
+        )
+        self.dictionary.count()  # materialize the cache
+        self.segments = spark.read.parquet(f"{index_dir}/segments")
+
+    def search(self, text: str, k: int = 10, mode: str = "freetext") -> list:
+        """One query -> [(rank, doc_id, score)] — two Spark jobs, warm."""
+        from find_that_charity_spark.functions.analyzer import analyze, analyze_name
+
+        qa = analyze_name if mode == "recon" else analyze
+        pos: set[str] = set()
+        neg: set[str] = set()
+        for word in (text or "").split():
+            (neg if word.startswith("-") else pos).update(qa(word.lstrip("-")))
+        all_terms = sorted(pos | neg)
+        if not pos:
+            return []
+        matched = self.dictionary.where(F.col("term").isin(all_terms)).collect()
+        if not any(r["term"] in pos for r in matched):
+            return []
+        by_term = {r["term"]: r for r in matched}
+        buckets = sorted({r["bucket"] for r in matched})
+        qrows = [
+            ("q", k, mode, t in neg, len(pos), t, int(by_term[t]["df"]))
+            for t in all_terms
+            if t in by_term
+        ]
+        qdf = self.spark.createDataFrame(
+            qrows,
+            "qid string, k int, mode string, neg boolean, n_required int, "
+            "term string, df_global long",
+        )
+        rows = self.segments.where(F.col("bucket").isin(buckets)).join(
+            F.broadcast(qdf), "term"
+        ).select(
+            "qid", "k", "mode", "neg", "n_required", "term",
+            F.col("df_global").alias("df"),
+            "min_doc", "max_doc", "postings", "blockmax",
+        )
+        scorer = make_query_scorer(self.n_docs, self.avgdl, use_bmw=True)
+        out = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA).collect()
+        return [(r["rank"], r["doc_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
+
+    def close(self) -> None:
+        self.dictionary.unpersist()
+
+
 def run_queries(
     spark: SparkSession,
     index_dir: str,
     queries_df: DataFrame,
     use_bmw: bool = True,
     join_urls: bool = False,
+    doc_shards: int | None = None,
 ) -> DataFrame:
     """Answer a batch of queries (qid, text, k, mode) against the index.
 
     Returns (qid, rank, doc_id, score[, url]) — deterministic order within
     qid by (score DESC, doc_id ASC).
+
+    ``doc_shards``: when set, each query is scored in S parallel doc-range
+    shards (every term's postings for a doc live in the same range, so
+    per-shard scores are complete), then shard top-ks merge through one
+    tiny window — the path that spreads a single heavy query across a
+    cluster instead of one Python worker. Exact: tested equal to the
+    unsharded path and the brute-force oracle.
     """
     n_docs, avgdl = load_stats(spark, index_dir)
 
@@ -369,11 +472,40 @@ def run_queries(
         "term",
     ).select(
         "qid", "k", "mode", "neg", "n_required", "term",
-        F.col("df_global").alias("df"), "min_doc", "postings", "blockmax",
+        F.col("df_global").alias("df"), "min_doc", "max_doc", "postings", "blockmax",
     )
 
     scorer = make_query_scorer(n_docs, avgdl, use_bmw=use_bmw)
-    results = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA)
+    if doc_shards and doc_shards > 1:
+        span = max(1, -(-(n_docs) // doc_shards))  # ceil
+        # explode each segment row to the doc-range shards it overlaps;
+        # block skip pointers keep per-shard decode proportional to overlap
+        sharded = rows.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("min_doc") / span).cast("int"),
+                    F.floor(F.col("max_doc") / span).cast("int"),
+                )
+            ).alias("shard"),
+        ).withColumns(
+            {
+                "range_lo": (F.col("shard").cast("long") * span),
+                "range_hi": (F.col("shard").cast("long") * span + span),
+            }
+        )
+        partial = sharded.groupBy("qid", "shard").applyInPandas(scorer, RESULTS_SCHEMA)
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
+        results = (
+            partial.join(
+                F.broadcast(matched.select("qid", "k").dropDuplicates(["qid"])), "qid"
+            )
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= F.col("k"))
+            .select("qid", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
+        )
+    else:
+        results = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA)
     if join_urls:
         docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
         results = results.join(docs, "doc_id").select("qid", "rank", "doc_id", "url", "score")

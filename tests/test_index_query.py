@@ -92,6 +92,52 @@ def test_rank_identity_vs_oracle(index, spark, oracle_corpus, use_bmw):
             assert s_got == pytest.approx(s_want, rel=1e-6), q["qid"]
 
 
+def test_sharded_scoring_exact(index, spark, oracle_corpus):
+    """doc_shards parallel scoring == unsharded == oracle (incl. AND/NOT)."""
+    qdf = spark.createDataFrame(
+        [
+            ("s0", "spark merge join window", 10, "freetext"),
+            ("s1", "w0001 w0002", 10, "bool_and"),
+            ("s2", "w0003 -w0000", 10, "freetext"),
+            ("s3", "w0042", 100, "freetext"),
+        ],
+        "qid string, text string, k int, mode string",
+    )
+    plain = run_queries(spark, index["index"], qdf).toPandas()
+    sharded = run_queries(spark, index["index"], qdf, doc_shards=7).toPandas()
+    for qid in ["s0", "s1", "s2", "s3"]:
+        a = plain[plain["qid"] == qid].sort_values("rank")
+        b = sharded[sharded["qid"] == qid].sort_values("rank")
+        assert a["doc_id"].tolist() == b["doc_id"].tolist(), qid
+        assert a["score"].tolist() == pytest.approx(b["score"].tolist()), qid
+
+
+def test_index_searcher_matches_run_queries(index, spark, oracle_corpus):
+    """Warm IndexSearcher (latency path) == run_queries (batch path)."""
+    from find_that_charity_spark.operators.query import IndexSearcher
+
+    searcher = IndexSearcher(spark, index["index"])
+    cases = [
+        ("w0001 w0042", 10, "freetext"),
+        ("w0001 -w0000", 5, "freetext"),
+        ("w0001 w0002", 10, "bool_and"),
+        ("ACME charitable TRUST", 10, "recon"),
+        ("zzz", 10, "freetext"),
+    ]
+    qdf = spark.createDataFrame(
+        [(f"c{i}", t, k, m) for i, (t, k, m) in enumerate(cases)],
+        "qid string, text string, k int, mode string",
+    )
+    batch = run_queries(spark, index["index"], qdf).toPandas()
+    for i, (t, k, m) in enumerate(cases):
+        got = searcher.search(t, k=k, mode=m)
+        want = batch[batch["qid"] == f"c{i}"].sort_values("rank")
+        assert [d for _, d, _ in got] == want["doc_id"].tolist(), t
+        for (_, _, s_got), s_want in zip(got, want["score"]):
+            assert s_got == pytest.approx(s_want, rel=1e-9)
+    searcher.close()
+
+
 def test_recon_queries_find_planted_entities(index, spark, oracle_corpus):
     queries = synth_queries()
     recon = queries[queries["mode"] == "recon"]
