@@ -38,7 +38,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
-    DoubleType,
     IntegerType,
     LongType,
     StringType,
@@ -48,8 +47,7 @@ from pyspark.sql.types import (
 
 from find_that_charity_spark.functions.analyzer import tokenize_udf
 from find_that_charity_spark.functions.codec import decode_postings, encode_postings
-from find_that_charity_spark.operators.dedup import dedup_latest_by_url
-from find_that_charity_spark.operators.doc_ids import assign_doc_ids
+from find_that_charity_spark.operators.doc_ids import dedup_and_assign_ids
 from find_that_charity_spark.plans.checkpoint import Manifest
 from find_that_charity_spark.sources.corpus import read_corpus
 
@@ -88,6 +86,7 @@ class BuildConfig:
     max_postings_per_segment: int = 1_000_000  # head-term split threshold
     segment_chunks: int = 4        # resumable sink jobs (1 = single commit)
     compact: bool = True
+    head_sample_tokens: int = 5_000_000  # doc-sample size for head detection
 
 
 def _extract_text() -> "F.Column":
@@ -257,16 +256,15 @@ def build_index(
     # executor memory, and resume gets tokens for free.
     if not mf.is_done("tokenized"):
         t0 = time.time()
-        deduped = dedup_latest_by_url(corpus)
-        # drop html before the id-assignment shuffle (it's usually the
-        # widest column); extraction keeps only the text we index
-        extracted = deduped.select(
+        # drop html before the shuffle (it's usually the widest column);
+        # extraction keeps only the text we index
+        extracted = corpus.select(
             "url", "warc_ts", "lang", _extract_text().alias("text")
         )
-        # ids BEFORE tokenization: the bucket-count job inside
-        # assign_doc_ids then scans only (url, warc_ts) — column pruning —
-        # instead of running the tokenizer UDF twice over the whole corpus
-        with_ids = assign_doc_ids(extracted, key="url", num_buckets=cfg.id_buckets)
+        # fused dedup + deterministic ids: ONE full-width shuffle instead
+        # of dedup-then-assign's two; its bucket-count job scans only url
+        # (column pruning), and tokenization happens after, exactly once
+        with_ids = dedup_and_assign_ids(extracted, num_buckets=cfg.id_buckets)
         (
             with_ids.select(
                 "doc_id", "url", "warc_ts", "lang", tokenize_udf("text").alias("tokens")
@@ -329,15 +327,35 @@ def build_index(
                 tf = tf_table().withColumn(
                     "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int")
                 )
-                # C8 pass 1: postings count per term -> head-term split spans
-                term_counts = tf.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
-                heads = term_counts.where(F.col("cnt") > cfg.max_postings_per_segment)
-                head_rows = heads.collect()
+                # C8 pass 1: head-term detection from a seeded DOC SAMPLE —
+                # a head term (postings > cap) is massively represented in
+                # any few-million-token sample, so estimated counts find it
+                # reliably without a full explode+shuffle pass. On small
+                # corpora the fraction clamps to 1.0 => exact counts. Split
+                # spans only shape group sizes (correctness is unaffected),
+                # so estimation error just wiggles segment boundaries.
+                total_tokens = int(stats["total_len"] or 0)
+                fraction = min(1.0, cfg.head_sample_tokens / max(1, total_tokens))
+                sample = tokenized if fraction >= 1.0 else tokenized.sample(
+                    fraction=fraction, seed=42
+                )
+                est_counts = (
+                    sample.select("doc_id", F.explode("tokens").alias("term"))
+                    .groupBy("term")
+                    # postings = distinct docs per term (df), NOT token count
+                    .agg((F.countDistinct("doc_id") / fraction).alias("est"))
+                    .where(F.col("est") > cfg.max_postings_per_segment * 0.5)
+                    .collect()
+                )
+                head_rows = [
+                    r for r in est_counts
+                    if np.ceil(r["est"] / cfg.max_postings_per_segment) > 1
+                ]
                 if head_rows:
                     spans = [
                         (
                             r["term"],
-                            int(np.ceil((n_docs) / np.ceil(r["cnt"] / cfg.max_postings_per_segment))),
+                            int(np.ceil(n_docs / np.ceil(r["est"] / cfg.max_postings_per_segment))),
                         )
                         for r in head_rows
                     ]
@@ -350,7 +368,10 @@ def build_index(
                     ).drop("span")
                 else:
                     tf = tf.withColumn("salt", F.lit(0).cast("int"))
-                tf = tf.persist()
+                if len(pending_chunks) > 1:
+                    # cache tf only when several chunk jobs will re-read it;
+                    # a single-chunk build streams explode->encode directly
+                    tf = tf.persist()
                 metrics["n_head_terms"] = len(head_rows)
             t0 = time.time()
             lo = chunk * cfg.num_buckets // cfg.segment_chunks
@@ -377,7 +398,7 @@ def build_index(
                 n_terms=int(agg["n_terms"]),
                 wall_s=round(time.time() - t0, 3),
             )
-        if tf is not None:
+        if tf is not None and len(pending_chunks) > 1:
             tf.unpersist()
 
     # ---- stage: compact (C10) ------------------------------------------

@@ -24,6 +24,52 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def dedup_and_assign_ids(
+    corpus: DataFrame, num_buckets: int = 1024
+) -> DataFrame:
+    """Fused C3 + C4: dedup-keep-latest per url AND deterministic dense
+    doc_id assignment in ONE exchange + sort.
+
+    All captures of a url hash to the same bucket, so a single window over
+    (partition by bucket, order by url, warc_ts desc) can both pick each
+    url's latest capture (first row of its url-run, via lag) and rank the
+    kept rows (running sum of run-starts). The separate-dedup-then-assign
+    formulation shuffles the full-width corpus twice; this shuffles it
+    once — the difference shows directly in build throughput at scale.
+
+    The url -> doc_id mapping is identical to
+    ``assign_doc_ids(dedup_latest_by_url(corpus))`` (tested) and equally
+    partition-layout-independent. Ties on (url, warc_ts) are broken by a
+    content hash so reruns are deterministic even with duplicate captures
+    at the same timestamp.
+    """
+    spark = corpus.sparkSession
+    with_b = corpus.withColumn(
+        "_b", F.pmod(F.xxhash64(F.col("url")), F.lit(num_buckets)).cast("int")
+    )
+    counts = with_b.groupBy("_b").agg(F.countDistinct("url").alias("_cnt"))
+    rows = sorted((r["_b"], r["_cnt"]) for r in counts.collect())
+    offsets, acc = [], 0
+    for b, cnt in rows:
+        offsets.append((b, acc))
+        acc += cnt
+    offsets_df = spark.createDataFrame(offsets, "_b int, _offset long")
+
+    w = Window.partitionBy("_b").orderBy(
+        F.asc("url"), F.desc("warc_ts"), F.desc(F.xxhash64("text"))
+    )
+    cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    is_first = F.lag("url").over(w).isNull() | (F.lag("url").over(w) != F.col("url"))
+    return (
+        with_b.withColumn("_first", is_first)
+        .withColumn("_r", F.sum(F.col("_first").cast("long")).over(cum))
+        .where(F.col("_first"))
+        .join(F.broadcast(offsets_df), "_b")
+        .withColumn("doc_id", (F.col("_offset") + F.col("_r") - 1).cast("long"))
+        .drop("_b", "_first", "_r", "_offset")
+    )
+
+
 def assign_doc_ids(df: DataFrame, key: str = "url", num_buckets: int = 1024) -> DataFrame:
     """Add a dense, deterministic ``doc_id`` column keyed by ``key``.
 

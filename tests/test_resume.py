@@ -94,6 +94,27 @@ def test_rebuild_is_noop(spark, fixture_dir, tmp_path_factory):
     ]
 
 
+def test_fused_dedup_assign_equivalent(spark, fixture_dir):
+    """dedup_and_assign_ids == assign_doc_ids(dedup_latest_by_url(...)):
+    same kept rows, same url -> doc_id mapping (incl. duplicate urls)."""
+    from find_that_charity_spark.operators.dedup import dedup_latest_by_url
+    from find_that_charity_spark.operators.doc_ids import dedup_and_assign_ids
+
+    pages = spark.read.parquet(f"{fixture_dir}/web_pages.parquet").select(
+        "url", "warc_ts", "lang", "text"
+    )
+    fused = dedup_and_assign_ids(pages, num_buckets=16)
+    twostep = assign_doc_ids(dedup_latest_by_url(pages), num_buckets=16)
+    a = sorted((r["url"], r["doc_id"], r["text"]) for r in fused.collect())
+    b = sorted((r["url"], r["doc_id"], r["text"]) for r in twostep.collect())
+    assert a == b
+    # fused path is partition-layout-independent too
+    c = dedup_and_assign_ids(pages.repartition(13), num_buckets=16)
+    assert sorted((r["url"], r["doc_id"]) for r in c.collect()) == [
+        (u, d) for u, d, _ in a
+    ]
+
+
 def test_doc_ids_independent_of_partitioning(spark, fixture_dir):
     pages = spark.read.parquet(f"{fixture_dir}/web_pages.parquet").select("url").distinct()
     a = assign_doc_ids(pages.repartition(1), num_buckets=16)
