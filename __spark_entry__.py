@@ -34,6 +34,7 @@ from find_that_charity_spark.operators.relational import (
     FLAGSHIP_QUERY,
     bm25_topk,
     bm25_topk_sql,
+    phrase_topk_sql,
 )
 from find_that_charity_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
 from find_that_charity_spark.sources.corpus import read_table
@@ -66,7 +67,10 @@ def _ensure_segment_index(spark: SparkSession, sf_dir: str) -> str:
             spark,
             pages,
             idx,
-            BuildConfig(num_buckets=8, id_buckets=1, max_postings_per_segment=5000),
+            BuildConfig(
+                num_buckets=8, id_buckets=1, max_postings_per_segment=5000,
+                positions=True,  # phrase-query gate needs positional postings
+            ),
         )
         _SEG_INDEX_CACHE[sf_dir] = idx
     return _SEG_INDEX_CACHE[sf_dir]
@@ -217,6 +221,48 @@ def _q_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_sessions_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 window depth: sessionization via lag — a new session starts when
+    the gap to the previous event of the same user exceeds 30 minutes."""
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # cast via timestamp: works for both TIMESTAMP and TIMESTAMP_NTZ scans
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    return (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(
+            F.sum("new_sess").cast("bigint").alias("n_sessions"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(F.col("user_id").cast("bigint"), "n_sessions", "n_events")
+        .orderBy("user_id")
+    )
+
+
+def _q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E12 array fns: distinct/sort/slice/intersect over token arrays."""
+    d = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    toks = F.array_sort(F.array_distinct(tokenize_expr("text")))
+    common = F.array_intersect(toks, F.array(F.lit("spark"), F.lit("join"), F.lit("table")))
+    return d.select(
+        F.col("doc_id").cast("bigint"),
+        F.array_join(F.slice(toks, 1, 3), " ").alias("first3"),
+        F.size(common).cast("int").alias("n_common"),
+    ).orderBy("doc_id")
+
+
+def _q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E5 distinct aggregation: exact countDistinct per event_type."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+        .orderBy("event_type")
+    )
+
+
 def _q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E4 left_semi/left_anti: customers with orders > 400k vs without."""
     c = read_table(spark, sf_dir, "customer")
@@ -334,6 +380,11 @@ def _q_segments_not(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_topk(spark, sf_dir, "customer -query", "freetext", k=10)
 
 
+def _q_segments_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase query (ES match_phrase): positional postings + adjacency."""
+    return _segment_topk(spark, sf_dir, "slow fast", "phrase", k=10)
+
+
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-side invariants: dictionary/posting totals vs raw recount."""
     idx = _ensure_segment_index(spark, sf_dir)
@@ -368,6 +419,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_recon": _q_segments_recon,
         "bm25_segments_bool_and": _q_segments_bool_and,
         "bm25_segments_not": _q_segments_not,
+        "bm25_segments_phrase": _q_segments_phrase,
         "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
         "bm25_topk_single_term": _q_bm25_single_term,
@@ -380,6 +432,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_daily": _q_events_daily,
         "events_json_props": _q_events_json,
         "semi_anti_join": _q_semi_anti_join,
+        "sessions_per_user": _q_sessions_per_user,
+        "array_ops_docs": _q_array_ops,
+        "distinct_users": _q_distinct_users,
         "setop_sources": _q_setop_sources,
         "dedup_exact": _q_dedup_exact,
         "ngram_jaccard_pairs": _q_ngram_jaccard,
@@ -407,6 +462,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_recon": bm25_topk_sql("CUSTOMER Query", k=10, analyzer=analyze_name),
         "bm25_segments_bool_and": bm25_topk_sql("table scan row", k=10, conjunctive=True),
         "bm25_segments_not": bm25_topk_sql("customer -query", k=10),
+        "bm25_segments_phrase": phrase_topk_sql("slow fast", k=10),
         "index_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents
@@ -484,6 +540,35 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN c_custkey IN (SELECT o_custkey FROM big)
                         THEN 'has_big_order' ELSE 'no_big_order' END AS kind
             FROM customer ORDER BY c_custkey
+        """,
+        "sessions_per_user": """
+            WITH g AS (
+              SELECT user_id,
+                     CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                          (PARTITION BY user_id ORDER BY ts, event_id) > 1800
+                          OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+            )
+            SELECT CAST(user_id AS BIGINT) AS user_id,
+                   CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "array_ops_docs": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}'))) AS toks
+              FROM documents WHERE doc_id < 50
+            )
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   array_to_string(toks[1:3], ' ') AS first3,
+                   CAST(len(list_intersect(toks, ['spark', 'join', 'table'])) AS INT) AS n_common
+            FROM t ORDER BY doc_id
+        """,
+        "distinct_users": """
+            SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "setop_sources": """
             SELECT source FROM documents WHERE lang = 'en'

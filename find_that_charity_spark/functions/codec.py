@@ -99,13 +99,51 @@ def tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     return tf * (BM25_K1 + 1.0) / (tf + BM25_K1 * (1.0 - BM25_B + BM25_B * dl / avgdl))
 
 
+def _position_deltas(positions_flat: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Within-posting delta encoding of a flat positions array.
+
+    ``positions_flat`` concatenates each posting's ascending position list;
+    posting i owns ``tfs[i]`` entries. The first position of each posting
+    is stored raw, later ones as gaps — all vectorized."""
+    if positions_flat.size == 0:
+        return positions_flat.astype(np.uint64)
+    deltas = np.empty_like(positions_flat)
+    deltas[0] = positions_flat[0]
+    deltas[1:] = positions_flat[1:] - positions_flat[:-1]
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    deltas[starts] = positions_flat[starts]  # reset at posting boundaries
+    return deltas.astype(np.uint64)
+
+
+def _positions_from_deltas(deltas: np.ndarray, tfs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`_position_deltas` (vectorized segmented cumsum)."""
+    if deltas.size == 0:
+        return deltas.astype(np.int64)
+    vals = deltas.astype(np.int64)
+    starts = np.concatenate([[0], np.cumsum(tfs)[:-1]]).astype(np.int64)
+    # segmented cumsum: global cumsum minus the cumsum value just before
+    # each segment start, broadcast over the segment
+    g = np.cumsum(vals)
+    seg_base = np.repeat(g[starts] - vals[starts], tfs.astype(np.int64))
+    return g - seg_base
+
+
 def encode_postings(
-    doc_ids: np.ndarray, tfs: np.ndarray, dls: np.ndarray
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    positions_flat: np.ndarray | None = None,
 ) -> tuple[bytes, list[tuple[int, int, int, int, int]]]:
     """Encode one docID-sorted posting list.
 
     Returns (blob, blockmax) where blockmax is a list of
     (last_doc, max_tf, min_dl, offset, n) per block of <=128 postings.
+
+    ``positions_flat`` (optional, Lucene positions analog): ascending
+    token positions per posting, concatenated; posting i owns tfs[i]
+    entries. When present, each block carries a 4th varint stream of
+    within-posting position gaps — phrase queries decode it, everything
+    else skips it for free (streams are length-delimited by tf sums).
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
@@ -114,6 +152,10 @@ def encode_postings(
     assert np.all(np.diff(doc_ids) > 0), "doc_ids must be strictly increasing"
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
+    if positions_flat is not None:
+        positions_flat = np.asarray(positions_flat, dtype=np.int64)
+        assert positions_flat.size == int(tfs.sum()), "positions must align with tfs"
+        pos_bounds = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
 
     deltas = np.empty(n, dtype=np.uint64)
     deltas[0] = doc_ids[0]
@@ -129,6 +171,9 @@ def encode_postings(
             + varint_encode(tfs[s:e].astype(np.uint64))
             + varint_encode(dls[s:e].astype(np.uint64))
         )
+        if positions_flat is not None:
+            pf = positions_flat[pos_bounds[s] : pos_bounds[e]]
+            blk += varint_encode(_position_deltas(pf, tfs[s:e]))
         parts.append(blk)
         blockmax.append(
             (int(doc_ids[e - 1]), int(tfs[s:e].max()), int(dls[s:e].min()), offset, e - s)
@@ -138,43 +183,60 @@ def encode_postings(
 
 
 def decode_block(
-    blob: bytes | memoryview, offset: int, n: int, prev_last_doc: int
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    blob: bytes | memoryview,
+    offset: int,
+    n: int,
+    prev_last_doc: int,
+    with_positions: bool = False,
+) -> tuple[np.ndarray, ...]:
     """Decode one block given its blockmax entry. ``prev_last_doc`` is the
-    last doc of the previous block (-? use first_doc semantics: pass the
-    previous block's last_doc, or 0 for the first block where the first
-    delta IS the doc id)."""
+    previous block's last_doc (0 for the first block, whose first delta IS
+    the doc id). With ``with_positions`` the 4th stream is decoded too and
+    returned as (docs, tfs, dls, positions_flat)."""
     data = np.frombuffer(blob, dtype=np.uint8)[offset:]
-    # find end of 3*n varints
     is_last = (data & 0x80) == 0
     ends = np.flatnonzero(is_last)
-    total_vals = 3 * n
-    data = data[: ends[total_vals - 1] + 1]
-    vals = varint_decode(data, count=total_vals)
+    head_vals = 3 * n
+    head = data[: ends[head_vals - 1] + 1]
+    vals = varint_decode(head, count=head_vals)
     deltas = vals[:n].astype(np.int64)
     tfs = vals[n : 2 * n].astype(np.int64)
     dls = vals[2 * n :].astype(np.int64)
     docs = np.cumsum(deltas) + prev_last_doc
-    return docs, tfs, dls
+    if not with_positions:
+        return docs, tfs, dls
+    n_pos = int(tfs.sum())
+    pos_bytes = data[ends[head_vals - 1] + 1 : ends[head_vals + n_pos - 1] + 1]
+    pos_deltas = varint_decode(pos_bytes, count=n_pos)
+    positions = _positions_from_deltas(pos_deltas, tfs)
+    return docs, tfs, dls, positions
 
 
 def decode_postings(
-    blob: bytes | memoryview, blockmax: list[tuple[int, int, int, int, int]]
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    blob: bytes | memoryview,
+    blockmax: list[tuple[int, int, int, int, int]],
+    with_positions: bool = False,
+) -> tuple[np.ndarray, ...]:
     """Decode a full posting list (all blocks)."""
-    docs_l, tfs_l, dls_l = [], [], []
+    docs_l, tfs_l, dls_l, pos_l = [], [], [], []
     prev = 0
     for last_doc, _max_tf, _min_dl, offset, n in blockmax:
-        d, t, dl = decode_block(blob, offset, n, prev)
-        assert d[-1] == last_doc, "corrupt block: last_doc mismatch"
-        docs_l.append(d)
-        tfs_l.append(t)
-        dls_l.append(dl)
+        out = decode_block(blob, offset, n, prev, with_positions=with_positions)
+        assert out[0][-1] == last_doc, "corrupt block: last_doc mismatch"
+        docs_l.append(out[0])
+        tfs_l.append(out[1])
+        dls_l.append(out[2])
+        if with_positions:
+            pos_l.append(out[3])
         prev = last_doc
     if not docs_l:
-        return (
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.int64),
-            np.empty(0, dtype=np.int64),
-        )
-    return np.concatenate(docs_l), np.concatenate(tfs_l), np.concatenate(dls_l)
+        empty = np.empty(0, dtype=np.int64)
+        return (empty, empty, empty, empty) if with_positions else (empty, empty, empty)
+    base = (
+        np.concatenate(docs_l),
+        np.concatenate(tfs_l),
+        np.concatenate(dls_l),
+    )
+    if with_positions:
+        return (*base, np.concatenate(pos_l))
+    return base

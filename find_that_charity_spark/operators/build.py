@@ -38,6 +38,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
+    BooleanType,
     IntegerType,
     LongType,
     StringType,
@@ -73,6 +74,7 @@ SEGMENT_SCHEMA = StructType(
         StructField("cf", LongType()),
         StructField("min_doc", LongType()),
         StructField("max_doc", LongType()),
+        StructField("has_positions", BooleanType()),
         StructField("postings", BinaryType()),
         StructField("blockmax", BLOCKMAX_TYPE),
     ]
@@ -87,6 +89,7 @@ class BuildConfig:
     segment_chunks: int = 4        # resumable sink jobs (1 = single commit)
     compact: bool = True
     head_sample_tokens: int = 5_000_000  # doc-sample size for head detection
+    positions: bool = False        # store token positions (phrase queries)
 
 
 def _extract_text() -> "F.Column":
@@ -99,7 +102,7 @@ def _extract_text() -> "F.Column":
     return F.coalesce(F.col("text"), stripped)
 
 
-def _encode_group():
+def _encode_group(positions: bool = False):
     """C9: per-(bucket, salt) group -> one segment row per term."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -111,13 +114,20 @@ def _encode_group():
         docs = pdf["doc_id"].to_numpy(dtype=np.int64)
         tfs = pdf["tf"].to_numpy(dtype=np.int64)
         dls = pdf["dl"].to_numpy(dtype=np.int64)
+        if positions:
+            pos_lists = pdf["positions"].to_numpy()
         # term boundaries without per-row Python
         change = np.flatnonzero(np.concatenate([[True], terms[1:] != terms[:-1]]))
         bounds = np.concatenate([change, [len(terms)]])
         out = []
         for i in range(len(change)):
             s, e = bounds[i], bounds[i + 1]
-            blob, bm = encode_postings(docs[s:e], tfs[s:e], dls[s:e])
+            pf = (
+                np.concatenate([np.asarray(p, dtype=np.int64) for p in pos_lists[s:e]])
+                if positions
+                else None
+            )
+            blob, bm = encode_postings(docs[s:e], tfs[s:e], dls[s:e], positions_flat=pf)
             out.append(
                 (
                     terms[s],
@@ -128,6 +138,7 @@ def _encode_group():
                     int(tfs[s:e].sum()),
                     int(docs[s]),
                     int(docs[e - 1]),
+                    positions,
                     blob,
                     [
                         {"last_doc": ld, "max_tf": mt, "min_dl": md, "offset": off, "n": n}
@@ -150,20 +161,25 @@ def _merge_group():
         if len(pdf) == 1:
             return pdf[SEGMENT_SCHEMA.fieldNames()]
         pdf = pdf.sort_values("min_doc")
-        docs_l, tfs_l, dls_l = [], [], []
+        # positions survive the merge only if every sub-segment carries them
+        with_pos = bool(pdf["has_positions"].all())
+        docs_l, tfs_l, dls_l, pos_l = [], [], [], []
         for _, row in pdf.iterrows():
             bm = [
                 (b["last_doc"], b["max_tf"], b["min_dl"], b["offset"], b["n"])
                 for b in row["blockmax"]
             ]
-            d, t, dl = decode_postings(row["postings"], bm)
-            docs_l.append(d)
-            tfs_l.append(t)
-            dls_l.append(dl)
+            out = decode_postings(row["postings"], bm, with_positions=with_pos)
+            docs_l.append(out[0])
+            tfs_l.append(out[1])
+            dls_l.append(out[2])
+            if with_pos:
+                pos_l.append(out[3])
         docs = np.concatenate(docs_l)
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
-        blob, bm = encode_postings(docs, tfs, dls)
+        pf = np.concatenate(pos_l) if with_pos else None
+        blob, bm = encode_postings(docs, tfs, dls, positions_flat=pf)
         first = pdf.iloc[0]
         return pd.DataFrame(
             [
@@ -176,6 +192,7 @@ def _merge_group():
                     int(tfs.sum()),
                     int(docs[0]),
                     int(docs[-1]),
+                    with_pos,
                     blob,
                     [
                         {"last_doc": ld, "max_tf": mt, "min_dl": md, "offset": off, "n": n}
@@ -309,12 +326,20 @@ def build_index(
     # ---- stage: segments (C7-C9, C12) ----------------------------------
     def tf_table() -> DataFrame:
         # column-pruned read of the tokenized table (doc_id, doc_len, tokens)
-        return (
-            tokenized.select(
-                "doc_id",
-                F.col("doc_len").alias("dl"),
-                F.explode("tokens").alias("term"),
+        exploded = tokenized.select(
+            "doc_id",
+            F.col("doc_len").alias("dl"),
+            F.posexplode("tokens").alias("pos", "term"),
+        )
+        if cfg.positions:
+            # token positions per (term, doc) — Lucene positions analog,
+            # required by phrase queries (D7+); sort for determinism
+            return exploded.groupBy("term", "doc_id", "dl").agg(
+                F.count(F.lit(1)).cast("int").alias("tf"),
+                F.sort_array(F.collect_list("pos")).alias("positions"),
             )
+        return (
+            exploded.drop("pos")
             .groupBy("term", "doc_id", "dl")
             .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         )
@@ -378,7 +403,7 @@ def build_index(
             hi = (chunk + 1) * cfg.num_buckets // cfg.segment_chunks
             part = tf.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
             segs = part.groupBy("bucket", "salt").applyInPandas(
-                _encode_group(), SEGMENT_SCHEMA
+                _encode_group(positions=cfg.positions), SEGMENT_SCHEMA
             )
             segs.write.mode("overwrite").partitionBy("bucket").parquet(
                 f"{index_dir}/segments/chunk={chunk}"

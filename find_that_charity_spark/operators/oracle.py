@@ -17,6 +17,46 @@ import numpy as np
 
 from find_that_charity_spark.functions.analyzer import analyze
 from find_that_charity_spark.functions.bm25 import bm25_term_score_np, idf_np
+from find_that_charity_spark.functions.codec import tfnorm
+
+
+def brute_force_phrase_topk(
+    doc_ids: Sequence[int],
+    texts: Sequence[str],
+    query_text: str,
+    k: int = 10,
+    analyzer: Callable[[str], list[str]] = analyze,
+) -> list[tuple[int, float]]:
+    """Exhaustive phrase top-k (ES match_phrase / Lucene PhraseQuery):
+    weight = sum of idf over query token occurrences; tf = number of exact
+    consecutive occurrences of the analyzed phrase; score = weight *
+    tfnorm(phrase_freq, dl, avgdl). Tie-break (score DESC, doc_id ASC)."""
+    q = analyzer(query_text)
+    if not q:
+        return []
+    tokenized = [analyzer(t) for t in texts]
+    dls = np.array([len(t) for t in tokenized], dtype=np.float64)
+    n = len(tokenized)
+    if n == 0:
+        return []
+    avgdl = float(dls.mean())
+    dfs = {}
+    for term in set(q):
+        dfs[term] = sum(1 for toks in tokenized if term in set(toks))
+        if dfs[term] == 0:
+            return []
+    weight = float(sum(idf_np(float(n), float(dfs[t])) for t in q))
+    out = []
+    m = len(q)
+    for i, toks in enumerate(tokenized):
+        pf = sum(1 for p in range(len(toks) - m + 1) if toks[p : p + m] == q)
+        if pf:
+            score = weight * float(
+                tfnorm(np.array([float(pf)]), np.array([dls[i]]), avgdl)[0]
+            )
+            out.append((int(doc_ids[i]), score))
+    out.sort(key=lambda r: (-r[1], r[0]))
+    return out[:k]
 
 
 def brute_force_topk(

@@ -198,6 +198,109 @@ def _decode_cursor_full(c: _Cursor, avgdl: float) -> tuple[np.ndarray, np.ndarra
     return _decode_cursor_range(c, avgdl)
 
 
+def _decode_cursor_positions(
+    c: _Cursor, lo: int | None = None, hi: int | None = None
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Decode (docs, tfs, dls, positions_flat), optionally range-restricted
+    via block skip pointers (phrase-query path)."""
+    docs_l, tfs_l, dls_l, pos_l = [], [], [], []
+    prev = 0
+    for i in range(c.n_blocks()):
+        last = int(c.last_docs[i])
+        first_possible = prev + 1 if i > 0 else 0
+        if (hi is not None and first_possible >= hi) or (lo is not None and last < lo):
+            prev = last
+            continue
+        docs, tfs, dls, pos = decode_block(
+            c.blob, int(c.offsets[i]), int(c.ns[i]), prev, with_positions=True
+        )
+        prev = last
+        if lo is not None or hi is not None:
+            s = np.searchsorted(docs, lo) if lo is not None else 0
+            e = np.searchsorted(docs, hi) if hi is not None else docs.size
+            bounds = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+            pos = pos[bounds[s] : bounds[e]]
+            docs, tfs, dls = docs[s:e], tfs[s:e], dls[s:e]
+        if docs.size:
+            docs_l.append(docs)
+            tfs_l.append(tfs)
+            dls_l.append(dls)
+            pos_l.append(pos)
+    if not docs_l:
+        e64 = np.empty(0, np.int64)
+        return e64, e64, e64, e64
+    return (
+        np.concatenate(docs_l),
+        np.concatenate(tfs_l),
+        np.concatenate(dls_l),
+        np.concatenate(pos_l),
+    )
+
+
+def score_phrase(
+    term_data: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    q_offsets: dict[str, list[int]],
+    idfs: dict[str, float],
+    avgdl: float,
+    k: int,
+) -> list[tuple[int, float]]:
+    """Exact phrase top-k (ES match_phrase / Lucene PhraseQuery analog).
+
+    A doc matches when some anchor position p has term t at p+off for
+    every query occurrence (t, off). Scoring follows Lucene PhraseQuery:
+    weight = sum of idf over query occurrences, tf = phrase frequency,
+    score = weight * tfnorm(phrase_freq, dl, avgdl).
+    ``term_data``: term -> (docs, tfs, dls, positions_flat).
+    """
+    from find_that_charity_spark.functions.codec import tfnorm as _tfn
+
+    if not term_data or not q_offsets:
+        return []
+    # intersect candidate docs across unique terms (rarest first)
+    lists = sorted(term_data.values(), key=lambda t: t[0].size)
+    base = lists[0][0]
+    for docs, _tf, _dl, _p in lists[1:]:
+        base = base[_member_mask(docs, base)]
+        if base.size == 0:
+            return []
+    weight = sum(idfs[t] * len(offs) for t, offs in q_offsets.items())
+    # per-term posting position bounds
+    bounds = {
+        t: np.concatenate([[0], np.cumsum(d[1])]).astype(np.int64)
+        for t, d in term_data.items()
+    }
+    results: list[tuple[int, float]] = []
+    ordered = sorted(q_offsets.items(), key=lambda kv: min(kv[1]))
+    t0, offs0 = ordered[0]
+    base_off = min(offs0)
+    for doc in base.tolist():
+        pos_of = {}
+        dl = None
+        ok = True
+        for t, (docs, _tfs, dls, pos_flat) in term_data.items():
+            i = int(np.searchsorted(docs, doc))
+            pos_of[t] = pos_flat[bounds[t][i] : bounds[t][i + 1]]
+            dl = float(dls[i])
+        anchors = pos_of[t0] - base_off
+        for t, offs in ordered:
+            for off in offs:
+                if t == t0 and off == base_off:
+                    continue
+                anchors = anchors[_member_mask(pos_of[t], anchors + off)]
+                if anchors.size == 0:
+                    ok = False
+                    break
+            if not ok:
+                break
+        anchors = anchors[anchors >= 0]
+        pf = int(anchors.size)
+        if pf > 0:
+            score = weight * float(_tfn(np.array([float(pf)]), np.array([dl]), avgdl)[0])
+            results.append((doc, score))
+    results.sort(key=lambda r: (-r[1], r[0]))
+    return results[:k]
+
+
 def _member_mask(sorted_haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
     """Membership of needles in a sorted array via searchsorted (the
     vectorized form of galloping intersection — SURVEY.md §2D D7)."""
@@ -268,7 +371,7 @@ def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
         )
         if pos.empty:
             return empty
-        if conjunctive:
+        if conjunctive or mode == "phrase":
             n_required = int(pdf["n_required"].iloc[0])
             if pos["term"].nunique() < n_required:
                 return empty  # a required term is absent from the corpus
@@ -280,7 +383,28 @@ def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
                 for _, row in grp.sort_values("min_doc").iterrows()
             ]
 
-        if conjunctive or not negs.empty or sharded or not use_bmw:
+        if mode == "phrase":
+            assert bool(pdf["has_positions"].all()), (
+                "phrase query against an index built without positions "
+                "(BuildConfig.positions=True required)"
+            )
+            term_data = {}
+            idfs = {}
+            q_offsets = {}
+            for term, grp in pos.groupby("term", sort=True):
+                idfs[term] = float(idf_np(float(n_docs), float(grp["df"].iloc[0])))
+                q_offsets[term] = [int(o) for o in grp["q_offsets"].iloc[0]]
+                parts = [
+                    _decode_cursor_positions(c, lo, hi) for c in cursors_of(grp)
+                ]
+                term_data[term] = (
+                    np.concatenate([p[0] for p in parts]),
+                    np.concatenate([p[1] for p in parts]),
+                    np.concatenate([p[2] for p in parts]),
+                    np.concatenate([p[3] for p in parts]),
+                )
+            top = score_phrase(term_data, q_offsets, idfs, avgdl, k)
+        elif conjunctive or not negs.empty or sharded or not use_bmw:
             term_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for term, grp in pos.groupby("term", sort=True):
                 parts = [_decode_cursor_range(c, avgdl, lo, hi) for c in cursors_of(grp)]
@@ -353,8 +477,15 @@ class IndexSearcher:
         qa = analyze_name if mode == "recon" else analyze
         pos: set[str] = set()
         neg: set[str] = set()
-        for word in (text or "").split():
-            (neg if word.startswith("-") else pos).update(qa(word.lstrip("-")))
+        offsets: dict[str, list[int]] = {}
+        if mode == "phrase":
+            toks = analyze(text or "")
+            for i, t in enumerate(toks):
+                offsets.setdefault(t, []).append(i)
+            pos = set(toks)
+        else:
+            for word in (text or "").split():
+                (neg if word.startswith("-") else pos).update(qa(word.lstrip("-")))
         all_terms = sorted(pos | neg)
         if not pos:
             return []
@@ -364,21 +495,21 @@ class IndexSearcher:
         by_term = {r["term"]: r for r in matched}
         buckets = sorted({r["bucket"] for r in matched})
         qrows = [
-            ("q", k, mode, t in neg, len(pos), t, int(by_term[t]["df"]))
+            ("q", k, mode, t in neg, len(pos), t, int(by_term[t]["df"]), offsets.get(t))
             for t in all_terms
             if t in by_term
         ]
         qdf = self.spark.createDataFrame(
             qrows,
             "qid string, k int, mode string, neg boolean, n_required int, "
-            "term string, df_global long",
+            "term string, df_global long, q_offsets array<int>",
         )
         rows = self.segments.where(F.col("bucket").isin(buckets)).join(
             F.broadcast(qdf), "term"
         ).select(
-            "qid", "k", "mode", "neg", "n_required", "term",
+            "qid", "k", "mode", "neg", "q_offsets", "n_required", "term",
             F.col("df_global").alias("df"),
-            "min_doc", "max_doc", "postings", "blockmax",
+            "min_doc", "max_doc", "has_positions", "postings", "blockmax",
         )
         scorer = make_query_scorer(self.n_docs, self.avgdl, use_bmw=True)
         out = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA).collect()
@@ -411,8 +542,10 @@ def run_queries(
     n_docs, avgdl = load_stats(spark, index_dir)
 
     # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
-    # mode 'bool_and' makes every positive term required (conjunctive).
-    words = queries_df.select(
+    # mode 'bool_and' makes every positive term required (conjunctive);
+    # mode 'phrase' keeps token ORDER as query offsets (ES match_phrase).
+    non_phrase = queries_df.where(F.col("mode") != "phrase")
+    words = non_phrase.select(
         "qid",
         F.col("k").cast("int").alias("k"),
         "mode",
@@ -442,12 +575,33 @@ def run_queries(
             F.first("mode").alias("mode"),
             F.max("neg").alias("neg"),  # a term both included and negated -> negated
         )
+        .withColumn("q_offsets", F.lit(None).cast("array<int>"))
     )
+    phrase = queries_df.where(F.col("mode") == "phrase")
+    phrase_terms = (
+        phrase.select(
+            "qid",
+            F.col("k").cast("int").alias("k"),
+            "mode",
+            F.posexplode(tokenize_udf("text")).alias("q_off", "term"),
+        )
+        .groupBy("qid", "term")
+        .agg(
+            F.first("k").alias("k"),
+            F.first("mode").alias("mode"),
+            F.lit(False).alias("neg"),
+            F.sort_array(F.collect_list(F.col("q_off").cast("int"))).alias("q_offsets"),
+        )
+    )
+    qterms = qterms.select(
+        "qid", "term", "k", "mode", "neg", "q_offsets"
+    ).unionByName(phrase_terms.select("qid", "term", "k", "mode", "neg", "q_offsets"))
 
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     # D2: the query-term set is tiny — broadcast it against the dictionary
     matched = dictionary.join(F.broadcast(qterms), "term").select(
-        "qid", "k", "mode", "neg", "term", F.col("df").alias("df_global"), "bucket"
+        "qid", "k", "mode", "neg", "q_offsets", "term",
+        F.col("df").alias("df_global"), "bucket",
     )
     buckets = [r["bucket"] for r in matched.select("bucket").distinct().collect()]
     if not buckets:
@@ -471,8 +625,9 @@ def run_queries(
         F.broadcast(matched.drop("bucket")),
         "term",
     ).select(
-        "qid", "k", "mode", "neg", "n_required", "term",
-        F.col("df_global").alias("df"), "min_doc", "max_doc", "postings", "blockmax",
+        "qid", "k", "mode", "neg", "q_offsets", "n_required", "term",
+        F.col("df_global").alias("df"), "min_doc", "max_doc",
+        "has_positions", "postings", "blockmax",
     )
 
     scorer = make_query_scorer(n_docs, avgdl, use_bmw=use_bmw)

@@ -154,6 +154,63 @@ LIMIT {k}
 """
 
 
+def phrase_topk_sql(query_text: str, k: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle for phrase queries (ES match_phrase semantics):
+    weight = sum of idf over query token occurrences, tf = exact
+    consecutive-occurrence count, score = weight * BM25 tf-normalization.
+    Same quantized output columns as :func:`bm25_topk_sql`."""
+    terms = analyze(query_text)
+    assert terms, "empty phrase"
+    uniq = sorted(set(terms))
+    uniq_list = ", ".join(f"('{t}')" for t in uniq)
+    # weight: idf summed per occurrence (repeats count)
+    occ = {t: terms.count(t) for t in uniq}
+    weight_expr = " + ".join(
+        f"{occ[t]} * (SELECT ln(1 + (s.n_docs - df + 0.5) / (df + 0.5)) "
+        f"FROM df_t, s WHERE term = '{t}')"
+        for t in uniq
+    )
+    # adjacency joins: anchor at t0, require terms[i] at p + i
+    joins = "\n  ".join(
+        f"JOIN tp t{i} ON t{i}.doc_id = t0.doc_id AND t{i}.p = t0.p + {i} "
+        f"AND t{i}.term = '{terms[i]}'"
+        for i in range(1, len(terms))
+    )
+    from find_that_charity_spark.functions.bm25 import B, K1
+
+    tf_norm = (
+        f"(pf * {K1 + 1.0}) / (pf + {K1} * ({1.0 - B} + {B} * (dl.dl / s.avgdl)))"
+    )
+    return f"""
+WITH docs_t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM {table}
+),
+tp AS (
+  SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p FROM docs_t
+),
+dl AS (SELECT doc_id, len(toks) AS dl FROM docs_t),
+s  AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q  AS (SELECT * FROM (VALUES {uniq_list}) AS v(term)),
+df_t AS (SELECT tp.term, count(DISTINCT doc_id) AS df FROM tp JOIN q USING (term) GROUP BY 1),
+anchors AS (
+  SELECT t0.doc_id, t0.p FROM tp t0
+  {joins}
+  WHERE t0.term = '{terms[0]}'
+),
+pfreq AS (SELECT doc_id, count(*) AS pf FROM anchors GROUP BY 1),
+scored AS (
+  SELECT pfreq.doc_id, ({weight_expr}) * {tf_norm} AS score
+  FROM pfreq JOIN dl ON pfreq.doc_id = dl.doc_id CROSS JOIN s
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_mil
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's ``entry`` query: BM25 top-10 over the documents table."""
     docs = read_table(spark, sf_dir, "documents")

@@ -115,6 +115,26 @@ def test_block_decode_by_offset():
         prev = last_doc
 
 
+@pytest.mark.parametrize("n", [1, 127, 128, 129, 1000])
+def test_postings_with_positions_roundtrip(n):
+    rng = np.random.default_rng(n + 99)
+    docs = np.sort(rng.choice(50 * n + 10, size=n, replace=False)).astype(np.int64)
+    tfs = rng.integers(1, 7, size=n).astype(np.int64)
+    dls = rng.integers(8, 200, size=n).astype(np.int64)
+    pos = np.concatenate(
+        [np.sort(rng.choice(1000, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    blob, bm = encode_postings(docs, tfs, dls, positions_flat=pos)
+    d, t, dl, p = decode_postings(blob, bm, with_positions=True)
+    assert np.array_equal(d, docs)
+    assert np.array_equal(t, tfs)
+    assert np.array_equal(dl, dls)
+    assert np.array_equal(p, pos)
+    # positions are skippable: decoding WITHOUT them still works
+    d2, t2, _ = decode_postings(blob, bm)
+    assert np.array_equal(d2, docs) and np.array_equal(t2, tfs)
+
+
 def test_blockmax_upper_bound_property():
     """idf * tfnorm(max_tf, min_dl, avgdl) >= any true block score for ANY
     (N, df, avgdl) — the property that keeps BMW pruning exact even when

@@ -55,6 +55,40 @@ def test_suggest(spark, index):
     assert suggest(spark, index, "zzzz") == []
 
 
+def test_add_to_csv_from_real_csv_file(spark, index, tmp_path):
+    """E1 CSV source + A6 end-to-end: user uploads a CSV, gets it back
+    enriched with reconciliation matches."""
+    csv_path = tmp_path / "orgs.csv"
+    csv_path.write_text(
+        "row_id,org_name\n"
+        f"r1,{ENTITY_NAMES[1]}\n"
+        "r2,Nonexistent Charity 999\n"
+    )
+    user = spark.read.option("header", True).csv(str(csv_path))
+    assert user.columns == ["row_id", "org_name"]
+    out = {r["row_id"]: r for r in add_to_csv(spark, index, user, "org_name").collect()}
+    assert out["r1"]["match_url"] is not None
+    assert out["r2"]["match_url"] is None
+
+
+def test_json_query_source(spark, index, tmp_path):
+    """E1 JSON source: a recon batch arrives as JSON lines."""
+    import json as _json
+
+    jpath = tmp_path / "queries.json"
+    jpath.write_text(
+        "\n".join(
+            _json.dumps({"qid": f"j{i}", "text": t, "k": 5, "mode": "recon"})
+            for i, t in enumerate(ENTITY_NAMES[:2])
+        )
+    )
+    from find_that_charity_spark.operators.query import run_queries
+
+    qdf = spark.read.json(str(jpath))
+    res = run_queries(spark, index, qdf).collect()
+    assert {r["qid"] for r in res} == {"j0", "j1"}
+
+
 def test_add_to_csv(spark, index):
     user = spark.createDataFrame(
         [("r1", ENTITY_NAMES[0]), ("r2", "acme charitable trust"), ("r3", "qqqq zzzz")],
