@@ -34,6 +34,7 @@ from find_that_charity_spark.operators.relational import (
     FLAGSHIP_QUERY,
     bm25_topk,
     bm25_topk_sql,
+    fuzzy_topk_sql,
     phrase_topk_sql,
 )
 from find_that_charity_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
@@ -385,6 +386,11 @@ def _q_segments_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_topk(spark, sf_dir, "slow fast", "phrase", k=10)
 
 
+def _q_segments_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy query (ES fuzziness=1): typo'd term expands via dictionary."""
+    return _segment_topk(spark, sf_dir, "custmer quary", "fuzzy", k=10)
+
+
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-side invariants: dictionary/posting totals vs raw recount."""
     idx = _ensure_segment_index(spark, sf_dir)
@@ -420,6 +426,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_bool_and": _q_segments_bool_and,
         "bm25_segments_not": _q_segments_not,
         "bm25_segments_phrase": _q_segments_phrase,
+        "bm25_segments_fuzzy": _q_segments_fuzzy,
         "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
         "bm25_topk_single_term": _q_bm25_single_term,
@@ -463,6 +470,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_bool_and": bm25_topk_sql("table scan row", k=10, conjunctive=True),
         "bm25_segments_not": bm25_topk_sql("customer -query", k=10),
         "bm25_segments_phrase": phrase_topk_sql("slow fast", k=10),
+        "bm25_segments_fuzzy": fuzzy_topk_sql("custmer quary", k=10),
         "index_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -603,6 +603,39 @@ def run_queries(
         "qid", "k", "mode", "neg", "q_offsets", "term",
         F.col("df").alias("df_global"), "bucket",
     )
+    # mode 'fuzzy' (ES fuzziness=1 analog, typo-tolerant reconciliation):
+    # expand each query term to every dictionary term within edit
+    # distance 1, then score as a plain OR over the expansions, each with
+    # its own idf. The expansion is a broadcast join against the
+    # dictionary with a cheap length prefilter — one dictionary scan.
+    fuzzy = queries_df.where(F.col("mode") == "fuzzy")
+    fq = (
+        fuzzy.select(
+            "qid",
+            F.col("k").cast("int").alias("k"),
+            F.explode(tokenize_name_udf("text")).alias("qterm"),
+        )
+        .dropDuplicates(["qid", "qterm"])
+    )
+    fuzzy_matched = (
+        dictionary.join(
+            F.broadcast(fq),
+            (F.abs(F.length("term") - F.length("qterm")) <= 1)
+            & (F.levenshtein(F.col("term"), F.col("qterm")) <= 1),
+        )
+        .select(
+            "qid",
+            "k",
+            F.lit("fuzzy").alias("mode"),
+            F.lit(False).alias("neg"),
+            F.lit(None).cast("array<int>").alias("q_offsets"),
+            "term",
+            F.col("df").alias("df_global"),
+            "bucket",
+        )
+        .dropDuplicates(["qid", "term"])
+    )
+    matched = matched.unionByName(fuzzy_matched)
     buckets = [r["bucket"] for r in matched.select("bucket").distinct().collect()]
     if not buckets:
         return spark.createDataFrame([], RESULTS_SCHEMA)

@@ -154,6 +154,45 @@ LIMIT {k}
 """
 
 
+def fuzzy_topk_sql(query_text: str, k: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle for fuzzy (edit-distance-1) retrieval: expand each
+    query term to all corpus terms within levenshtein 1, score as OR."""
+    from find_that_charity_spark.functions.analyzer import analyze_name
+
+    terms = sorted(set(analyze_name(query_text)))
+    terms_list = ", ".join(f"('{t}')" for t in terms)
+    score_expr = bm25_sql(tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+s  AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+q  AS (SELECT * FROM (VALUES {terms_list}) AS v(qterm)),
+vocab AS (SELECT DISTINCT term FROM tf),
+exp AS (
+  SELECT DISTINCT vocab.term FROM vocab, q
+  WHERE abs(length(vocab.term) - length(q.qterm)) <= 1
+    AND levenshtein(vocab.term, q.qterm) <= 1
+),
+d AS (SELECT tf.term, count(*) AS df FROM tf JOIN exp USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum({score_expr}) AS score
+  FROM tf JOIN exp USING (term) JOIN d ON tf.term = d.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_mil
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
 def phrase_topk_sql(query_text: str, k: int = 10, table: str = "documents") -> str:
     """DuckDB oracle for phrase queries (ES match_phrase semantics):
     weight = sum of idf over query token occurrences, tf = exact
