@@ -192,13 +192,18 @@ def decode_block(
     """Decode one block given its blockmax entry. ``prev_last_doc`` is the
     previous block's last_doc (0 for the first block, whose first delta IS
     the doc id). With ``with_positions`` the 4th stream is decoded too and
-    returned as (docs, tfs, dls, positions_flat)."""
-    data = np.frombuffer(blob, dtype=np.uint8)[offset:]
+    returned as (docs, tfs, dls, positions_flat).
+
+    The byte scan is bounded to the block's maximum possible size
+    (<=10 bytes/varint) — never the blob's remaining tail, which would
+    make whole-list decode quadratic."""
+    head_vals = 3 * n
+    # varints are <=10 bytes each: a safe upper bound on the head streams
+    data = np.frombuffer(blob, dtype=np.uint8)[offset : offset + 10 * head_vals]
     is_last = (data & 0x80) == 0
     ends = np.flatnonzero(is_last)
-    head_vals = 3 * n
-    head = data[: ends[head_vals - 1] + 1]
-    vals = varint_decode(head, count=head_vals)
+    head_end = int(ends[head_vals - 1]) + 1
+    vals = varint_decode(data[:head_end], count=head_vals)
     deltas = vals[:n].astype(np.int64)
     tfs = vals[n : 2 * n].astype(np.int64)
     dls = vals[2 * n :].astype(np.int64)
@@ -206,7 +211,11 @@ def decode_block(
     if not with_positions:
         return docs, tfs, dls
     n_pos = int(tfs.sum())
-    pos_bytes = data[ends[head_vals - 1] + 1 : ends[head_vals + n_pos - 1] + 1]
+    pos_data = np.frombuffer(blob, dtype=np.uint8)[
+        offset + head_end : offset + head_end + 10 * n_pos
+    ]
+    pos_last = np.flatnonzero((pos_data & 0x80) == 0)
+    pos_bytes = pos_data[: int(pos_last[n_pos - 1]) + 1]
     pos_deltas = varint_decode(pos_bytes, count=n_pos)
     positions = _positions_from_deltas(pos_deltas, tfs)
     return docs, tfs, dls, positions

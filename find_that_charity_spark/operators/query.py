@@ -94,13 +94,21 @@ def _make_cursor(idf: float, blob: bytes, blockmax, avgdl: float) -> _Cursor:
 
 
 def score_query_bmw(
-    cursors: list[_Cursor], k: int, avgdl: float
+    cursors: list[_Cursor], k: int, avgdl: float, stats: dict | None = None
 ) -> list[tuple[int, float]]:
-    """Window-sweep Block-Max WAND: exact top-k with block skipping."""
+    """Window-sweep Block-Max WAND: exact top-k with block skipping.
+
+    ``stats`` (optional) is filled with pruning counters:
+    windows_total / windows_skipped / blocks_decoded / blocks_total."""
     from find_that_charity_spark.functions.codec import tfnorm as _tfn
 
     if not cursors or k <= 0:
         return []
+    if stats is not None:
+        stats.update(
+            windows_total=0, windows_skipped=0, blocks_decoded=0,
+            blocks_total=int(sum(c.n_blocks() for c in cursors)),
+        )
     # window boundaries: union of all block last_docs
     boundaries = np.unique(np.concatenate([c.last_docs for c in cursors]))
     heap: list[tuple[float, int]] = []  # (score, -doc_id), size <= k
@@ -117,11 +125,15 @@ def score_query_bmw(
             if c.blk < c.n_blocks() and c.first_docs[c.blk] <= hi:
                 active.append((ci, c))
                 ub_sum += c.ubs[c.blk]
+        if stats is not None:
+            stats["windows_total"] += 1
         if not active:
             lo = int(hi) + 1
             continue
         theta = heap[0][0] if len(heap) >= k else -np.inf
         if ub_sum <= theta:
+            if stats is not None:
+                stats["windows_skipped"] += 1
             lo = int(hi) + 1
             continue
         # decode + slice postings within [lo, hi]
@@ -129,6 +141,8 @@ def score_query_bmw(
         for ci, c in active:
             key = (ci, c.blk)
             if key not in decoded_cache:
+                if stats is not None:
+                    stats["blocks_decoded"] += 1
                 prev = int(c.last_docs[c.blk - 1]) if c.blk > 0 else 0
                 docs, tfs, dls = decode_block(
                     c.blob, int(c.offsets[c.blk]), int(c.ns[c.blk]), prev
