@@ -361,6 +361,20 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, query_vec_id=0, k=10)
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # rows-only check: k-means cell assignment isn't SQL-expressible
+    import numpy as np
+
+    from find_that_charity_spark.operators.similarity import build_ivf, ivf_cosine_topk
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    model, assigned = build_ivf(emb, n_centroids=8)
+    q = np.asarray(
+        emb.where("vec_id = 0").collect()[0]["embedding"], dtype=np.float64
+    )
+    return ivf_cosine_topk(model, assigned, q, k=10, nprobe=3, exclude_id=0)
+
+
 def _q_segments_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full engine path: tokenize -> segments -> BMW top-k (SURVEY.md §2C/§2D)."""
     return _segment_topk(spark, sf_dir, FLAGSHIP_QUERY, "freetext", k=10)
@@ -453,6 +467,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": _q_minhash_pairs,
         "simhash_near_dups": _q_simhash_pairs,
         "ann_cosine_lsh": _q_ann_lsh,
+        "ann_cosine_ivf": _q_ann_ivf,
     }
 
 

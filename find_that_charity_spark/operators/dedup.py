@@ -54,7 +54,10 @@ def exact_dedup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = 
 # ---------------------------------------------------------------------------
 
 # Deterministic universal-hash parameters: h_i(x) = (a_i*x + b_i) mod p.
-_MERSENNE_P = (1 << 61) - 1
+# p = 2^31 - 1 keeps a*x + b < 2^62, so the whole family runs in
+# vectorized uint64 numpy (no Python bigints); 31-bit min-hashes are the
+# standard quality/width trade-off.
+_MERSENNE_P = (1 << 31) - 1
 
 
 def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
@@ -65,23 +68,27 @@ def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndar
 
 
 def _shingle_hashes(tokens: list[str], shingle: int) -> np.ndarray:
-    """Stable 61-bit hashes of token n-gram shingles (FNV-1a over joined)."""
+    """Stable 61-bit hashes of token n-gram shingles (md5 prefix — C-speed
+    and process-stable, unlike Python's salted hash())."""
+    import hashlib
+
     if len(tokens) < shingle:
         grams = [" ".join(tokens)] if tokens else []
     else:
         grams = [" ".join(tokens[i : i + shingle]) for i in range(len(tokens) - shingle + 1)]
-    out = np.empty(len(grams), dtype=np.uint64)
-    for i, g in enumerate(grams):
-        h = np.uint64(0xCBF29CE484222325)
-        for byte in g.encode("utf-8"):
-            h = np.uint64((int(h) ^ byte) * 0x100000001B3 % (1 << 64))
-        out[i] = h
+    if not grams:
+        return np.empty(0, dtype=np.int64)
+    buf = b"".join(hashlib.md5(g.encode("utf-8")).digest()[:8] for g in grams)
+    out = np.frombuffer(buf, dtype=np.uint64)
     return (out % np.uint64(_MERSENNE_P)).astype(np.int64)
 
 
 def minhash_signature_udf(num_hashes: int = 64, shingle: int = 3):
     """Arrow-batched pandas UDF: tokens array → minhash signature array."""
     a, b = _minhash_params(num_hashes)
+
+    a_u = a.astype(np.uint64)[:, None]
+    b_u = b.astype(np.uint64)[:, None]
 
     @pandas_udf(ArrayType(LongType()))
     def _sig(tokens: pd.Series) -> pd.Series:
@@ -91,9 +98,10 @@ def minhash_signature_udf(num_hashes: int = 64, shingle: int = 3):
             if len(sh) == 0:
                 out.append([int(_MERSENNE_P)] * num_hashes)
                 continue
-            # (num_hashes, n_shingles) affine hash, min over shingles
-            vals = (a[:, None].astype(object) * sh[None, :].astype(object) + b[:, None]) % _MERSENNE_P
-            out.append(np.min(vals.astype(np.int64), axis=1).tolist())
+            # (num_hashes, n_shingles) affine hash, min over shingles —
+            # uint64 throughout (a, x, b < 2^31 so a*x + b < 2^62)
+            vals = (a_u * sh.astype(np.uint64)[None, :] + b_u) % np.uint64(_MERSENNE_P)
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
         return pd.Series(out)
 
     return _sig
@@ -203,23 +211,23 @@ def simhash_udf(bits: int = 64):
 
     @pandas_udf(LongType())
     def _simhash(tokens: pd.Series) -> pd.Series:
+        import hashlib
+
         out = np.zeros(len(tokens), dtype=np.int64)
         for row_i, toks in enumerate(tokens):
             if toks is None or len(toks) == 0:
                 continue
-            acc = np.zeros(bits, dtype=np.int64)
-            for t in toks:
-                h = np.uint64(0xCBF29CE484222325)
-                for byte in t.encode("utf-8"):
-                    h = np.uint64((int(h) ^ byte) * 0x100000001B3 % (1 << 64))
-                hv = int(h)
-                for bit in range(bits):
-                    acc[bit] += 1 if (hv >> bit) & 1 else -1
-            v = 0
-            for bit in range(bits):
-                if acc[bit] > 0:
-                    v |= 1 << bit
-            # store as signed 64-bit
+            buf = b"".join(hashlib.md5(t.encode("utf-8")).digest()[:8] for t in toks)
+            hs = np.frombuffer(buf, dtype=np.uint64)
+            # (n_tokens, 64) bit matrix, vectorized majority vote per bit
+            bitmat = np.unpackbits(
+                hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little"
+            ).astype(np.int64)
+            acc = 2 * bitmat.sum(axis=0) - len(hs)
+            v = int(
+                np.packbits((acc > 0).astype(np.uint8), bitorder="little")
+                .view(np.uint64)[0]
+            )
             out[row_i] = v - (1 << 64) if v >= (1 << 63) else v
         return pd.Series(out)
 

@@ -650,10 +650,6 @@ def run_queries(
         .dropDuplicates(["qid", "term"])
     )
     matched = matched.unionByName(fuzzy_matched)
-    buckets = [r["bucket"] for r in matched.select("bucket").distinct().collect()]
-    if not buckets:
-        return spark.createDataFrame([], RESULTS_SCHEMA)
-
     # conjunctive semantics: a required term absent from the dictionary
     # means zero results for that query — track required-term counts so the
     # scorer can detect the short-fall (the join above drops missing terms)
@@ -664,12 +660,21 @@ def run_queries(
     )
     matched = matched.join(F.broadcast(required), "qid", "left")
 
+    # materialize the (tiny) matched-term set once: the scoring job then
+    # joins a literal local relation instead of re-executing the analyze
+    # UDF + dictionary-join lineage a second time
+    matched_rows = matched.collect()
+    if not matched_rows:
+        return spark.createDataFrame([], RESULTS_SCHEMA)
+    buckets = sorted({r["bucket"] for r in matched_rows})
+    matched_local = spark.createDataFrame(matched_rows, matched.schema)
+
     # D3: bucket IN-list reaches the parquet scan as a partition filter
     segments = spark.read.parquet(f"{index_dir}/segments").where(
         F.col("bucket").isin(buckets)
     )
     rows = segments.join(
-        F.broadcast(matched.drop("bucket")),
+        F.broadcast(matched_local.drop("bucket")),
         "term",
     ).select(
         "qid", "k", "mode", "neg", "q_offsets", "n_required", "term",

@@ -57,6 +57,72 @@ def cosine_topk_brute(
     return ranked
 
 
+def build_ivf(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 13,
+    vec_col: str = "embedding",
+):
+    """IVF coarse quantizer: k-means centroids + per-row cell assignment.
+
+    At scale the assigned table is written partitioned by ``centroid`` so
+    a query scans only its probed cells (same pruning idea as the term
+    buckets on the text side). Returns (model, assigned_df)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    withv = emb.withColumn(
+        "_v", array_to_vector(F.col(vec_col).cast("array<double>"))
+    )
+    model = KMeans(k=n_centroids, seed=seed, featuresCol="_v", predictionCol="centroid").fit(
+        withv
+    )
+    assigned = model.transform(withv).drop("_v")
+    return model, assigned
+
+
+def ivf_cosine_topk(
+    model,
+    assigned: DataFrame,
+    query_vec: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_id: int | None = None,
+) -> DataFrame:
+    """IVF search: probe the ``nprobe`` nearest centroids' cells only,
+    exact cosine within them. nprobe = n_centroids degenerates to exact
+    brute force (used to sanity-check recall)."""
+    centers = np.array(model.clusterCenters())
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = centers - q
+    order = np.argsort((d * d).sum(axis=1))
+    probes = [int(c) for c in order[:nprobe]]
+
+    cand = assigned.where(F.col("centroid").isin(probes))
+    if exclude_id is not None:
+        cand = cand.where(F.col(id_col) != exclude_id)
+    qvec = F.array(*[F.lit(float(x)) for x in q])
+    cos = _dot(F.col(vec_col), qvec) / (
+        F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
+        * F.lit(float(np.sqrt((q * q).sum())))
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .orderBy(F.desc("cos"), F.asc(id_col))
+        .limit(k)
+        .select(
+            F.col(id_col).cast("bigint").alias("vec_id"),
+            F.row_number()
+            .over(Window.orderBy(F.desc("cos"), F.asc(id_col)))
+            .cast("int")
+            .alias("rank"),
+            F.floor(F.col("cos") * 1e4 + F.lit(0.5)).cast("bigint").alias("cos_mil"),
+        )
+    )
+
+
 def srp_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     """Signed-random-projection bucket id: sign bits of <v, plane_i>.
 
@@ -92,26 +158,31 @@ def cosine_topk_lsh(
     n_bits: int = 8,
     dim: int = 64,
     seed: int = 13,
+    probe_radius: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate cosine top-k: SRP-bucket the corpus, search only the
-    query's bucket (plus hamming-1 neighbor buckets for recall).
+    """Approximate cosine top-k: SRP-bucket the corpus, search the query's
+    bucket plus all buckets within hamming ``probe_radius`` (multi-probe).
 
     At scale the bucket column is a partition/cluster key, so the search
-    reads a small slice of the corpus instead of scanning everything.
+    reads a small slice of the corpus instead of scanning everything;
+    radius trades recall for scanned fraction (r=2 of 8 bits ~ 14%).
     """
+    from itertools import combinations
+
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     bucketed = emb.withColumn("bucket", srp_bucket_expr(vec_col, planes))
     qrow = bucketed.where(F.col(id_col) == query_vec_id).select("bucket", F.col(vec_col).alias("qvec"))
-    # hamming<=1 neighborhood of the query bucket
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, probe_radius + 1)
+        for bits in combinations(range(n_bits), r)
+    ]
     neigh = qrow.select(
         F.explode(
-            F.array(
-                F.col("bucket"),
-                *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_bits)],
-            )
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
         ).alias("bucket"),
         "qvec",
     )

@@ -64,10 +64,9 @@ def _append_batch(
         "append"
     ).parquet(f"{index_dir}/docs")
 
+    # token-level rows; tf is computed inside the encode group (run-length)
     tf = (
         with_len.select("doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("term"))
-        .groupBy("term", "doc_id", "dl")
-        .agg(F.count(F.lit(1)).cast("int").alias("tf"))
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
         .withColumn("salt", F.lit(1000 + epoch_id).cast("int"))  # segment generation tag
     )

@@ -92,20 +92,27 @@ def main(n_docs: int = 500_000) -> None:
     runner_path = os.path.join(work, "runner.py")
     with open(runner_path, "w") as f:
         f.write(RUNNER.format(root=ROOT))
+    repeats = int(os.environ.get("SCALING_REPEATS", "2"))
     results = {}
     for master, shuffle in LEVELS:
-        idx = os.path.join(work, f"idx_{master[6:-1]}")
-        out_json = os.path.join(work, f"out_{master[6:-1]}.json")
-        t0 = time.time()
-        subprocess.run(
-            [sys.executable, runner_path, master, f"{fx}/web_pages.parquet", idx,
-             f"{fx}/queries.parquet", out_json, str(shuffle)],
-            check=True, cwd=ROOT,
-        )
-        with open(out_json) as f:
-            results[master] = json.load(f)
-        print(f"{master}: {results[master]['docs_per_sec']} docs/s "
-              f"(run {time.time()-t0:.0f}s incl session)")
+        runs = []
+        for rep in range(repeats):
+            idx = os.path.join(work, f"idx_{master[6:-1]}_{rep}")
+            out_json = os.path.join(work, f"out_{master[6:-1]}_{rep}.json")
+            t0 = time.time()
+            subprocess.run(
+                [sys.executable, runner_path, master, f"{fx}/web_pages.parquet", idx,
+                 f"{fx}/queries.parquet", out_json, str(shuffle)],
+                check=True, cwd=ROOT,
+            )
+            with open(out_json) as f:
+                runs.append(json.load(f))
+            print(f"{master} rep{rep}: {runs[-1]['docs_per_sec']} docs/s "
+                  f"(run {time.time()-t0:.0f}s incl session)")
+        # repeats must agree on results + doc map — determinism across reruns
+        assert all(r["results"] == runs[0]["results"] for r in runs[1:])
+        assert all(r["doc_map_sha"] == runs[0]["doc_map_sha"] for r in runs[1:])
+        results[master] = max(runs, key=lambda r: r["docs_per_sec"])  # best-of-N
 
     r2, r8, r32 = (results[m] for m, _ in LEVELS)
     eff_2_8 = (r8["docs_per_sec"] / r2["docs_per_sec"]) / 4.0
@@ -124,9 +131,11 @@ def main(n_docs: int = 500_000) -> None:
 
 Protocol: BASELINE.md sandbox substitute for N vs 4N executors — the same
 build job + query batch on the same input, one fresh subprocess (own JVM)
-per parallelism level, on the 32-core host. Corpus: deterministic FIXTURES
-synth web_pages, {r8['n_docs']} unique docs (seed=42). Generated by
-scripts/run_scaling.py.
+per parallelism level, on the 32-core host; best of {repeats} runs per
+level (page-cache warmth causes ~10-15% run-to-run wall variance; repeats
+must produce byte-identical results, which is asserted). Corpus:
+deterministic FIXTURES synth web_pages, {r8['n_docs']} unique docs
+(seed=42). Generated by scripts/run_scaling.py.
 
 | Metric | local[2] | local[8] | local[32] |
 |---|---|---|---|

@@ -1,0 +1,64 @@
+"""Similarity search: brute-force exactness, SRP-LSH and IVF recall."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from find_that_charity_spark.operators.similarity import (
+    build_ivf,
+    cosine_topk_brute,
+    cosine_topk_lsh,
+    ivf_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_mid):
+    return spark.read.parquet(f"{sf_mid}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def brute_top(spark, emb):
+    rows = cosine_topk_brute(emb, query_vec_id=0, k=10).collect()
+    return [r["vec_id"] for r in rows]
+
+
+def test_brute_matches_numpy(spark, emb, brute_top):
+    pdf = emb.toPandas()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    ids = pdf["vec_id"].to_numpy()
+    q = mat[ids.tolist().index(0)]
+    cos = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(
+        (i for i in range(len(ids)) if ids[i] != 0),
+        key=lambda i: (-cos[i], ids[i]),
+    )[:10]
+    assert [int(ids[i]) for i in order] == brute_top
+
+
+def test_ivf_full_probe_is_exact(spark, emb, brute_top):
+    model, assigned = build_ivf(emb, n_centroids=8)
+    pdf = emb.where("vec_id = 0").toPandas()
+    q = np.asarray(pdf["embedding"].iloc[0], dtype=np.float64)
+    got = ivf_cosine_topk(model, assigned, q, k=10, nprobe=8, exclude_id=0).collect()
+    assert [r["vec_id"] for r in got] == brute_top
+
+
+def test_ivf_partial_probe_recall(spark, emb, brute_top):
+    model, assigned = build_ivf(emb, n_centroids=8)
+    pdf = emb.where("vec_id = 0").toPandas()
+    q = np.asarray(pdf["embedding"].iloc[0], dtype=np.float64)
+    got = ivf_cosine_topk(model, assigned, q, k=10, nprobe=3, exclude_id=0).collect()
+    recall = len(set(r["vec_id"] for r in got) & set(brute_top)) / len(brute_top)
+    assert recall >= 0.5, f"recall@10 {recall}"
+
+
+def test_lsh_recall(spark, emb, brute_top):
+    """The fixture's nearest neighbors are weak (cos ~0.3, i.e. SRP
+    hamming 3-5 of 8 bits), so probe radius 3 (~36% of buckets) is what
+    honest SRP recall looks like on this data; tighter clusters at real
+    scale need fewer probes."""
+    got = cosine_topk_lsh(emb, query_vec_id=0, k=10, probe_radius=3).collect()
+    recall = len(set(r["vec_id"] for r in got) & set(brute_top)) / len(brute_top)
+    assert recall >= 0.4, f"recall@10 {recall}"
