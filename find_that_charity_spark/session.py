@@ -51,15 +51,25 @@ def get_spark(
     Defaults follow the sandbox contract: ``local[$SPARK_GRAFT_CPUS]`` and
     ``spark.sql.shuffle.partitions=32``. AQE stays on (runtime coalescing +
     skew-join splitting); Arrow is on for every pandas-UDF boundary.
+
+    Under ``spark-submit --master ...`` the submitted master wins: the
+    builder must NOT call .master() or a cluster job would silently run
+    local (spark.master arrives via system properties in SparkConf).
     """
     if master is None:
-        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
-        master = f"local[{cpus}]"
+        from pyspark import SparkConf
+
+        submitted = SparkConf().get("spark.master", None) or os.environ.get("MASTER")
+        if submitted is None:
+            cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+            master = f"local[{cpus}]"
     if shuffle_partitions is None:
         shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+    builder = SparkSession.builder.appName(app_name)
+    if master is not None:
+        builder = builder.master(master)
     builder = (
-        SparkSession.builder.master(master)
-        .appName(app_name)
+        builder
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
