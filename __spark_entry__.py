@@ -27,8 +27,10 @@ from find_that_charity_spark.functions import text as T
 from find_that_charity_spark.operators.dedup import (
     exact_dedup_groups,
     minhash_lsh_pairs,
+    minhash_pairs_sql,
     ngram_jaccard_pairs,
     simhash_near_dups,
+    simhash_pairs_sql,
 )
 from find_that_charity_spark.operators.relational import (
     FLAGSHIP_QUERY,
@@ -340,10 +342,10 @@ def _q_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check (FNV/minhash not SQL-expressible). Plant guaranteed
-    # near-dups by unioning a doc_id-shifted copy: every (i, i+100000) pair
-    # is an exact dup (signature agreement 1.0), so the LSH banding join
-    # provably surfaces them — the check can't pass vacuously.
+    # Hash-verified vs a DuckDB rendering of the SAME signature math
+    # (minhash_pairs_sql). Planted near-dups (a doc_id-shifted exact copy
+    # of every doc) keep the check non-vacuous: every (i, i+100000) pair
+    # must surface with agreement 1.0.
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 60)
     shifted = docs.withColumn("doc_id", F.col("doc_id") + F.lit(100000))
     return minhash_lsh_pairs(docs.unionByName(shifted), threshold=0.9).orderBy(
@@ -352,17 +354,26 @@ def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # max_hamming=8 is sound now that banding derives its block count from
+    # the radius (9 blocks -> pigeonhole recall is total at hamming <= 8);
+    # the DuckDB oracle recounts exact hamming over all pairs.
     docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 100)
     return simhash_near_dups(docs, max_hamming=8).orderBy("id_a", "id_b")
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # probe_radius = n_bits probes every bucket -> exact brute force
+    # through the full LSH machinery (bucketing, multi-probe mask join),
+    # so the brute-force DuckDB oracle applies. Partial-probe recall is
+    # pytest-covered (tests/test_similarity.py).
     emb = read_table(spark, sf_dir, "embeddings")
-    return cosine_topk_lsh(emb, query_vec_id=0, k=10)
+    return cosine_topk_lsh(emb, query_vec_id=0, k=10, n_bits=8, probe_radius=8)
 
 
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # rows-only check: k-means cell assignment isn't SQL-expressible
+    # nprobe = n_centroids probes every cell -> exact brute force through
+    # the full IVF machinery (k-means assignment, cell pruning); DuckDB
+    # brute-force oracle applies. Partial-probe recall is pytest-covered.
     import numpy as np
 
     from find_that_charity_spark.operators.similarity import build_ivf, ivf_cosine_topk
@@ -372,7 +383,87 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = np.asarray(
         emb.where("vec_id = 0").collect()[0]["embedding"], dtype=np.float64
     )
-    return ivf_cosine_topk(model, assigned, q, k=10, nprobe=3, exclude_id=0)
+    return ivf_cosine_topk(model, assigned, q, k=10, nprobe=8, exclude_id=0)
+
+
+def _q_events_json_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E13 native JSON surface: from_json (schema'd parse) + get_json_object
+    (path extraction) — not regexp over the raw string."""
+    e = read_table(spark, sf_dir, "events")
+    parsed = e.withColumn("k_parsed", F.from_json("props", "k BIGINT")["k"]).withColumn(
+        "k_path", F.get_json_object("props", "$.k").cast("bigint")
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.sum("k_parsed").cast("bigint").alias("sum_k"),
+            F.max("k_path").cast("bigint").alias("max_k"),
+            F.sum(
+                F.when(F.col("k_parsed") == F.col("k_path"), 1).otherwise(0)
+            ).cast("bigint").alias("n_consistent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing under the oracle: a media table synthesized from
+    document bytes runs the real mapInPandas decode/feature/frame-sample
+    pipeline; n_bytes and frame counts are SQL-checkable (octet_length)."""
+    from find_that_charity_spark.operators.multimodal import (
+        extract_features,
+        sample_frames,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.format_string("media://%05d", "doc_id").alias("url"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    feats = extract_features(media).select("media_id", "kind", "n_bytes")
+    frames = sample_frames(media).groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames")
+    )
+    return (
+        feats.join(frames, "media_id", "left")
+        .select(
+            F.col("media_id").cast("bigint"),
+            "kind",
+            F.col("n_bytes").cast("bigint"),
+            F.coalesce("n_frames", F.lit(0)).cast("bigint").alias("n_frames"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def _q_add_to_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 add-to-CSV batch reconciliation: enrich a user table with its
+    best recon match (url + score); unmatched rows keep nulls."""
+    from find_that_charity_spark.operators.recon import add_to_csv
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    user = spark.createDataFrame(
+        [("r1", "customer query"), ("r2", "slow fast table"), ("r3", "zzz unmatchable")],
+        "row_id string, name string",
+    )
+    out = add_to_csv(spark, idx, user, "name")
+    return out.select(
+        "row_id",
+        F.coalesce(
+            F.regexp_extract("match_url", r"doc://(\d+)", 1).cast("bigint"), F.lit(-1)
+        ).alias("match_doc_id"),
+        F.coalesce(
+            F.floor(F.col("match_score") * 1e4 + F.lit(0.5)).cast("bigint"), F.lit(-1)
+        ).alias("score_mil"),
+    ).orderBy("row_id")
 
 
 def _q_segments_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -468,6 +559,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dups": _q_simhash_pairs,
         "ann_cosine_lsh": _q_ann_lsh,
         "ann_cosine_ivf": _q_ann_ivf,
+        "events_json_native": _q_events_json_native,
+        "multimodal_features": _q_multimodal_features,
+        "add_to_csv_recon": _q_add_to_csv,
     }
 
 
@@ -476,6 +570,23 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 _TOKS = f"regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}')"
+
+# Exact cosine top-10 of vec 0 — the oracle for the brute-force gate AND
+# for the full-probe LSH/IVF gates (which degenerate to exact search).
+_ANN_BRUTE_SQL = """
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    scored AS (
+      SELECT vec_id,
+             list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
+             (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+              sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))) AS cos
+      FROM embeddings CROSS JOIN q WHERE vec_id <> 0
+    )
+    SELECT CAST(vec_id AS BIGINT) AS vec_id,
+           CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
+           CAST(floor(cos * 1e4 + 0.5) AS BIGINT) AS cos_mil
+    FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -641,21 +752,54 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(DISTINCT {T.fingerprint_sql('text')}) AS BIGINT) AS n_distinct_fp
             FROM documents GROUP BY source ORDER BY source
         """,
-        "ann_cosine_top10": """
-            WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
-            scored AS (
-              SELECT vec_id,
-                     list_dot_product(CAST(embedding AS DOUBLE[]), CAST(qvec AS DOUBLE[])) /
-                     (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
-                      sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), CAST(qvec AS DOUBLE[])))) AS cos
-              FROM embeddings CROSS JOIN q WHERE vec_id <> 0
-            )
-            SELECT CAST(vec_id AS BIGINT) AS vec_id,
-                   CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS INT) AS rank,
-                   CAST(floor(cos * 1e4 + 0.5) AS BIGINT) AS cos_mil
-            FROM scored ORDER BY cos DESC, vec_id ASC LIMIT 10
+        "ann_cosine_top10": _ANN_BRUTE_SQL,
+        "minhash_lsh_pairs": minhash_pairs_sql(
+            "SELECT doc_id AS id, text FROM documents WHERE doc_id < 60 "
+            "UNION ALL "
+            "SELECT doc_id + 100000 AS id, text FROM documents WHERE doc_id < 60",
+            threshold=0.9,
+        ),
+        "simhash_near_dups": simhash_pairs_sql(
+            "SELECT doc_id AS id, text FROM documents WHERE doc_id < 100",
+            max_hamming=8,
+        ),
+        # full-probe LSH/IVF degenerate to exact brute force -> brute oracle
+        "ann_cosine_lsh": _ANN_BRUTE_SQL,
+        "ann_cosine_ivf": _ANN_BRUTE_SQL,
+        "events_json_native": """
+            SELECT event_type,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(count(*) AS BIGINT) AS n_consistent
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
-        # minhash_lsh_pairs / simhash_near_dups / ann_cosine_lsh: omitted —
-        # hash-based signatures are not SQL-expressible; driver records the
-        # weaker rows-only check (they are still deterministic + pytest-tested).
+        "multimodal_features": """
+            SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                   CAST(CASE WHEN doc_id % 3 = 2
+                             THEN least(8, greatest(1, octet_length(encode(text)) // 10))
+                             ELSE 0 END AS BIGINT) AS n_frames
+            FROM documents WHERE doc_id < 40 ORDER BY media_id
+        """,
+        "add_to_csv_recon": _add_to_csv_oracle_sql(),
     }
+
+
+def _add_to_csv_oracle_sql() -> str:
+    """Per-row best recon match: each user row is its own k=1 BM25 query
+    (same analyzer, same quantization); unmatched rows yield NULLs."""
+    rows = [("r1", "customer query"), ("r2", "slow fast table"), ("r3", "zzz unmatchable")]
+    parts = []
+    for row_id, text in rows:
+        inner = bm25_topk_sql(text, k=1, analyzer=analyze_name)
+        parts.append(
+            f"SELECT '{row_id}' AS row_id, m.doc_id AS match_doc_id, "
+            f"m.score_mil AS score_mil FROM ({inner}) m"
+        )
+        parts.append(
+            f"SELECT '{row_id}', -1::BIGINT, -1::BIGINT "
+            f"WHERE NOT EXISTS (SELECT 1 FROM ({inner}) m2)"
+        )
+    return " UNION ALL ".join(parts) + " ORDER BY row_id"

@@ -90,6 +90,7 @@ class BuildConfig:
     compact: bool = True
     head_sample_tokens: int = 5_000_000  # doc-sample size for head detection
     positions: bool = False        # store token positions (phrase queries)
+    fuzzy_keys: bool = True        # materialize the deletion-key index (D2)
 
 
 def _extract_text() -> "F.Column":
@@ -234,7 +235,13 @@ def compact_segments(
     everything else is untouched. When nothing is mergeable (the common
     case right after a batch build, where multi-segment terms exceed the
     cap by construction) this is metadata-only — no copy of the segment
-    store. Returns the number of terms consolidated."""
+    store. Returns the number of terms consolidated.
+
+    The final swap is crash-safe: the old store is renamed aside before
+    the new one moves in, so every intermediate state is recoverable
+    (``_recover_segment_swap``) and a rerun of ``build_index`` never
+    finds the segments directory missing."""
+    _recover_segment_swap(index_dir)
     raw = spark.read.option("basePath", f"{index_dir}/segments").parquet(
         f"{index_dir}/segments/chunk=*"
     ).drop("chunk")
@@ -256,9 +263,30 @@ def compact_segments(
         # streaming appends (new chunk dirs) discover consistently
         tmp = f"{index_dir}/segments_compacted"
         final.write.mode("overwrite").partitionBy("bucket").parquet(f"{tmp}/chunk=0")
-        shutil.rmtree(f"{index_dir}/segments")
+        # crash-safe swap: old aside -> new in -> drop old. A crash at any
+        # point leaves a state _recover_segment_swap can finish.
+        backup = f"{index_dir}/segments_old"
+        os.rename(f"{index_dir}/segments", backup)
         os.rename(tmp, f"{index_dir}/segments")
+        shutil.rmtree(backup)
     return n_merged
+
+
+def _recover_segment_swap(index_dir: str) -> None:
+    """Finish an interrupted compaction swap, preferring the newest
+    complete store: segments if present, else the written-but-unswapped
+    segments_compacted, else the segments_old backup."""
+    seg = f"{index_dir}/segments"
+    tmp = f"{index_dir}/segments_compacted"
+    backup = f"{index_dir}/segments_old"
+    if not os.path.exists(seg):
+        if os.path.exists(tmp):
+            os.rename(tmp, seg)  # crashed between the two renames
+        elif os.path.exists(backup):
+            os.rename(backup, seg)  # defensive: tmp lost, restore old
+    for leftover in (tmp, backup):
+        if os.path.exists(seg) and os.path.exists(leftover):
+            shutil.rmtree(leftover)
 
 
 def build_index(
@@ -462,4 +490,30 @@ def build_index(
         mf.mark_done("dictionary", n_terms=n_terms, wall_s=round(time.time() - t0, 3))
         metrics["n_terms"] = n_terms
 
+    # ---- stage: fuzzy_keys (D2 fuzzy acceleration) -----------------------
+    # Deletion-neighborhood index (functions/fuzzy.py): |dict| * (len+1)
+    # rows, built once so fuzzy query batches equi-join a pushed IN-list
+    # scan instead of running levenshtein over the whole dictionary.
+    if cfg.fuzzy_keys and not mf.is_done("fuzzy_keys"):
+        t0 = time.time()
+        write_fuzzy_keys(spark, index_dir)
+        mf.mark_done("fuzzy_keys", wall_s=round(time.time() - t0, 3))
+
     return metrics
+
+
+def write_fuzzy_keys(spark: SparkSession, index_dir: str) -> None:
+    """(Re)materialize the deletion-key expansion of the dictionary."""
+    from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
+
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    keys = dictionary.select(
+        F.explode(deletion_keys_expr("term")).alias("key"),
+        "term",
+        "bucket",
+        "df",
+    )
+    keys.write.mode("overwrite").parquet(f"{index_dir}/fuzzy_keys_new")
+    spark.read.parquet(f"{index_dir}/fuzzy_keys_new").write.mode("overwrite").parquet(
+        f"{index_dir}/fuzzy_keys"
+    )

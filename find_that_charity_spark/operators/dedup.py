@@ -27,8 +27,12 @@ from find_that_charity_spark.functions.analyzer import tokenize_expr
 
 
 def dedup_latest_by_url(pages: DataFrame) -> DataFrame:
-    """C3: keep the latest ``warc_ts`` capture per url (row_number window)."""
-    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"))
+    """C3: keep the latest ``warc_ts`` capture per url (row_number window).
+
+    Ties on (url, warc_ts) break by content hash — the SAME tie-break as
+    the fused ``dedup_and_assign_ids`` (operators/doc_ids.py), so the
+    streaming dedup path and the batch path keep identical text."""
+    w = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc(F.xxhash64("text")))
     return (
         pages.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
@@ -115,11 +119,20 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle: int = 3,
     threshold: float = 0.5,
+    bucket_cap: int = 1000,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding + exact verify.
 
     Output: (id_a, id_b, jaccard_mil) with id_a < id_b, estimated Jaccard
     (signature agreement rate) >= threshold, quantized to 1e-3.
+
+    Skew guard: a degenerate band bucket (boilerplate/empty docs collapse
+    to one signature) would emit O(m²) candidate pairs. Buckets larger
+    than ``bucket_cap`` therefore emit STAR pairs only — every member
+    against the bucket's min-id representative (m-1 pairs) — which for
+    dedup purposes is equivalent: the bucket's near-dup clique stays one
+    connected component. Candidate pair count is thus bounded by
+    bucket_cap x |bucket| instead of |bucket|² per bucket.
     """
     rows_per_band = num_hashes // bands
     sig_udf = minhash_signature_udf(num_hashes, shingle)
@@ -137,10 +150,18 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    # bucket-size census; over-cap buckets are few (degenerate cliques)
+    over = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where(F.col("bsz") > bucket_cap)
+        .select("band", "band_hash")
+    )
+    small = banded.join(F.broadcast(over), ["band", "band_hash"], "left_anti")
     pairs = (
-        banded.alias("l")
+        small.alias("l")
         .join(
-            banded.alias("r"),
+            small.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.band_hash") == F.col("r.band_hash"))
             & (F.col("l.id") < F.col("r.id")),
@@ -151,8 +172,34 @@ def minhash_lsh_pairs(
             F.col("l.sig").alias("sig_a"),
             F.col("r.sig").alias("sig_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
     )
+    big = banded.join(F.broadcast(over), ["band", "band_hash"])
+    reps = (
+        big.groupBy("band", "band_hash")
+        .agg(F.min("id").alias("rep_id"))
+        .withColumnRenamed("band", "_rband")
+        .withColumnRenamed("band_hash", "_rband_hash")
+    )
+    reps_sig = (
+        big.join(
+            F.broadcast(reps),
+            (F.col("band") == F.col("_rband"))
+            & (F.col("band_hash") == F.col("_rband_hash"))
+            & (F.col("id") == F.col("rep_id")),
+        )
+        .select("band", "band_hash", "rep_id", F.col("sig").alias("rep_sig"))
+    )
+    star = (
+        big.join(F.broadcast(reps_sig), ["band", "band_hash"])
+        .where(F.col("id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("id_a"),  # rep is the bucket min -> id_a < id_b
+            F.col("id").alias("id_b"),
+            F.col("rep_sig").alias("sig_a"),
+            F.col("sig").alias("sig_b"),
+        )
+    )
+    pairs = pairs.unionByName(star).dropDuplicates(["id_a", "id_b"])
     agree = F.size(
         F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
     ) / F.lit(float(num_hashes))
@@ -206,6 +253,101 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_pairs_sql(
+    docs_sql: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle: int = 3,
+    threshold: float = 0.5,
+) -> str:
+    """DuckDB oracle twin of :func:`minhash_lsh_pairs`.
+
+    Renders the *identical* signature math in SQL: DuckDB's
+    ``md5_number_upper`` equals numpy's little-endian uint64 read of the
+    first 8 md5 bytes (verified), and the (a, b) universal-hash table is
+    inlined from the same seeded generator. The oracle compares ALL pairs'
+    signature agreement — no banding — which is exactly equivalent to the
+    banded LSH output whenever ``threshold > 1 - bands/num_hashes``: a
+    pair passing the agreement filter then has fewer disagreeing signature
+    rows than there are bands, so by pigeonhole it shares one fully
+    identical band and is guaranteed to be an LSH candidate. ``docs_sql``
+    must select (id, text) and stay small — the oracle is O(n²) by design.
+    """
+    if threshold <= 1.0 - bands / num_hashes:
+        raise ValueError("oracle exact only when threshold > 1 - bands/num_hashes")
+    a, b = _minhash_params(num_hashes)
+    params = ", ".join(
+        f"({i}, {int(a[i])}::UBIGINT, {int(b[i])}::UBIGINT)" for i in range(num_hashes)
+    )
+    p = _MERSENNE_P
+    return f"""
+WITH docs AS ({docs_sql}),
+tk AS (SELECT id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk FROM docs),
+sh AS (
+  SELECT id, unnest(
+    CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+         WHEN len(tk) < {shingle} THEN [array_to_string(tk, ' ')]
+         ELSE list_transform(range(1, len(tk) - {shingle - 2}),
+                             i -> array_to_string(tk[i:i+{shingle - 1}], ' '))
+    END) AS g
+  FROM tk
+),
+hx AS (SELECT id, (md5_number_upper(g) % {p})::UBIGINT AS x FROM sh),
+p AS (SELECT * FROM (VALUES {params}) v(i, a, b)),
+sig0 AS (SELECT id, p.i, min((p.a * hx.x + p.b) % {p}) AS v
+         FROM hx CROSS JOIN p GROUP BY 1, 2),
+sig AS (
+  SELECT d.id, p.i, coalesce(s.v, {p}) AS v
+  FROM (SELECT DISTINCT id FROM docs) d CROSS JOIN p
+  LEFT JOIN sig0 s ON s.id = d.id AND s.i = p.i
+),
+agree AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         sum(CASE WHEN a.v = b.v THEN 1 ELSE 0 END) AS n_eq
+  FROM sig a JOIN sig b ON a.i = b.i AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(floor(n_eq * 1000.0 / {num_hashes} + 0.5) AS BIGINT) AS jaccard_mil
+FROM agree WHERE n_eq * 1.0 / {num_hashes} >= {threshold}
+ORDER BY id_a, id_b
+"""
+
+
+def simhash_pairs_sql(docs_sql: str, max_hamming: int = 3) -> str:
+    """DuckDB oracle twin of :func:`simhash_near_dups`: recompute every
+    simhash (same md5 little-endian token hash, same bit-majority) and
+    recount hamming over ALL pairs — exactly the operator's output, since
+    the (max_hamming+1)-block banding has total recall at that radius.
+    ``docs_sql`` must select (id, text) and stay small (O(n²) oracle)."""
+    sums = ", ".join(
+        f"sum(CAST((h // {1 << j}::UBIGINT) % 2 AS BIGINT)) AS b{j}" for j in range(64)
+    )
+    asm = " + ".join(
+        f"(CASE WHEN 2*b{j} > n THEN {1 << j}::UBIGINT ELSE 0::UBIGINT END)"
+        for j in range(64)
+    )
+    return f"""
+WITH docs AS ({docs_sql}),
+t AS (SELECT id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM docs),
+h AS (SELECT id, md5_number_upper(tok)::UBIGINT AS h FROM t),
+bits AS (SELECT id, {sums}, count(*) AS n FROM h GROUP BY id),
+sim0 AS (SELECT id, {asm} AS sh FROM bits),
+sim AS (
+  SELECT d.id, coalesce(s.sh, 0::UBIGINT) AS sh
+  FROM (SELECT DISTINCT id FROM docs) d LEFT JOIN sim0 s ON s.id = d.id
+),
+pairs AS (
+  SELECT a.id AS id_a, b.id AS id_b, bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM sim a JOIN sim b ON a.id < b.id
+)
+SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+       CAST(hamming AS INT) AS hamming
+FROM pairs WHERE hamming <= {max_hamming}
+ORDER BY id_a, id_b
+"""
+
+
 def simhash_udf(bits: int = 64):
     """Arrow-batched SimHash over token arrays (unweighted)."""
 
@@ -237,25 +379,35 @@ def simhash_udf(bits: int = 64):
 def simhash_near_dups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", max_hamming: int = 3
 ) -> DataFrame:
-    """SimHash near-dup pairs: 4-block banding (any identical 16-bit block
-    is a candidate — guaranteed to catch hamming distance <= 3), then exact
-    hamming verify via bit_count(xor).
+    """SimHash near-dup pairs: block banding + exact hamming verify.
+
+    The 64-bit signature is split into ``max_hamming + 1`` contiguous
+    blocks, so by pigeonhole any pair within ``max_hamming`` differing
+    bits shares at least one IDENTICAL block — banding recall is total
+    for the requested radius (a fixed 4-block split only guarantees
+    hamming <= 3 and silently drops farther pairs). Candidates then get
+    an exact ``bit_count(xor)`` recount.
 
     Output: (id_a, id_b, hamming int).
     """
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError(f"max_hamming must be in [0, 63], got {max_hamming}")
+    base, extra = divmod(64, n_blocks)
+    widths = [base + (1 if i < extra else 0) for i in range(n_blocks)]
+    offs = [sum(widths[:i]) for i in range(n_blocks)]
+    block_cols = [
+        F.col("sh")
+        if w == 64
+        else F.shiftrightunsigned("sh", off).bitwiseAND(F.lit((1 << w) - 1))
+        for off, w in zip(offs, widths)
+    ]
     sim = simhash_udf()
     sigs = docs.select(F.col(id_col).alias("id"), sim(tokenize_expr(text_col)).alias("sh"))
     blocks = sigs.select(
         "id",
         "sh",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftrightunsigned("sh", i * 16).bitwiseAND(F.lit(0xFFFF))
-                    for i in range(4)
-                ]
-            )
-        ).alias("blk", "blk_val"),
+        F.posexplode(F.array(*block_cols)).alias("blk", "blk_val"),
     )
     cand = (
         blocks.alias("l")

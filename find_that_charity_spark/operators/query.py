@@ -558,7 +558,10 @@ def run_queries(
     # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
     # mode 'bool_and' makes every positive term required (conjunctive);
     # mode 'phrase' keeps token ORDER as query offsets (ES match_phrase).
-    non_phrase = queries_df.where(F.col("mode") != "phrase")
+    # mode 'fuzzy' is handled EXCLUSIVELY by the expansion path below — an
+    # in-vocab query term must contribute once (as its own edit-distance-0
+    # expansion), not once per path (double-counted BM25).
+    non_phrase = queries_df.where(~F.col("mode").isin("phrase", "fuzzy"))
     words = non_phrase.select(
         "qid",
         F.col("k").cast("int").alias("k"),
@@ -620,36 +623,60 @@ def run_queries(
     # mode 'fuzzy' (ES fuzziness=1 analog, typo-tolerant reconciliation):
     # expand each query term to every dictionary term within edit
     # distance 1, then score as a plain OR over the expansions, each with
-    # its own idf. The expansion is a broadcast join against the
-    # dictionary with a cheap length prefilter — one dictionary scan.
-    fuzzy = queries_df.where(F.col("mode") == "fuzzy")
-    fq = (
-        fuzzy.select(
-            "qid",
-            F.col("k").cast("int").alias("k"),
-            F.explode(tokenize_name_udf("text")).alias("qterm"),
-        )
-        .dropDuplicates(["qid", "qterm"])
+    # its own idf. The expansion is a deletion-neighborhood EQUI-join
+    # (functions/fuzzy.py): query keys are collected (|qterms|*(len+1),
+    # tiny) and pushed into the precomputed fuzzy_keys scan as an
+    # IN-list; the exact levenshtein check runs only on the key-matched
+    # candidates — never a scan-wide levenshtein over the dictionary.
+    fuzzy_rows = (
+        queries_df.where(F.col("mode") == "fuzzy")
+        .select("qid", F.col("k").cast("int").alias("k"), "text")
+        .collect()
     )
-    fuzzy_matched = (
-        dictionary.join(
-            F.broadcast(fq),
-            (F.abs(F.length("term") - F.length("qterm")) <= 1)
-            & (F.levenshtein(F.col("term"), F.col("qterm")) <= 1),
+    if fuzzy_rows:
+        from find_that_charity_spark.functions.analyzer import analyze_name
+        from find_that_charity_spark.functions.fuzzy import (
+            deletion_keys,
+            deletion_keys_expr,
         )
-        .select(
-            "qid",
-            "k",
-            F.lit("fuzzy").alias("mode"),
-            F.lit(False).alias("neg"),
-            F.lit(None).cast("array<int>").alias("q_offsets"),
-            "term",
-            F.col("df").alias("df_global"),
-            "bucket",
+
+        fq_pairs = [
+            (r["qid"], int(r["k"]), t, key)
+            for r in fuzzy_rows
+            for t in sorted(set(analyze_name(r["text"])))
+            for key in deletion_keys(t)
+        ]
+        fq_keys = spark.createDataFrame(
+            fq_pairs, "qid string, k int, qterm string, key string"
         )
-        .dropDuplicates(["qid", "term"])
-    )
-    matched = matched.unionByName(fuzzy_matched)
+        all_keys = sorted({p[3] for p in fq_pairs})
+        try:  # build-time deletion index (pushed IN-list scan)
+            cand_terms = spark.read.parquet(f"{index_dir}/fuzzy_keys")
+        except Exception:  # older index without fuzzy_keys: expand inline
+            cand_terms = dictionary.select(
+                "term", "bucket", "df",
+                F.explode(deletion_keys_expr("term")).alias("key"),
+            )
+        fuzzy_matched = (
+            cand_terms.where(F.col("key").isin(all_keys))
+            .join(F.broadcast(fq_keys), "key")
+            .where(
+                (F.abs(F.length("term") - F.length("qterm")) <= 1)
+                & (F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
+            )
+            .select(
+                "qid",
+                "k",
+                F.lit("fuzzy").alias("mode"),
+                F.lit(False).alias("neg"),
+                F.lit(None).cast("array<int>").alias("q_offsets"),
+                "term",
+                F.col("df").alias("df_global"),
+                "bucket",
+            )
+            .dropDuplicates(["qid", "term"])
+        )
+        matched = matched.unionByName(fuzzy_matched)
     # conjunctive semantics: a required term absent from the dictionary
     # means zero results for that query — track required-term counts so the
     # scorer can detect the short-fall (the join above drops missing terms)

@@ -27,6 +27,8 @@ old stats — the same drift Lucene/ES tolerate between refreshes.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,6 +43,18 @@ from find_that_charity_spark.sources.corpus import WEB_PAGES_SCHEMA
 def _append_batch(
     spark: SparkSession, batch_df: DataFrame, epoch_id: int, index_dir: str, num_buckets: int
 ) -> None:
+    # Retry safety under at-least-once foreachBatch replay: (1) a fully
+    # committed epoch is skipped via the manifest; (2) segments land in a
+    # per-epoch directory with mode=overwrite, so re-running a half-done
+    # epoch rewrites identical bytes instead of duplicating postings (the
+    # doc_id assignment is a pure function of the fresh-url set and the
+    # unchanged docs table, so the recompute is byte-stable); (3) docs are
+    # appended only AFTER segments commit — if the first run crashed after
+    # the docs append instead, the replay would see fresh empty with the
+    # segment half missing forever. With this ordering fresh-empty on a
+    # marked-not-done epoch means everything already landed: mark and go.
+    if Manifest(index_dir).is_done("stream_batch", str(epoch_id)):
+        return
     docs = spark.read.parquet(f"{index_dir}/docs")
     base_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
 
@@ -48,6 +62,7 @@ def _append_batch(
         docs.select("url"), "url", "left_anti"
     )
     if fresh.isEmpty():
+        Manifest(index_dir).mark_done("stream_batch", str(epoch_id), n_new=0)
         return
     tokenized = fresh.select(
         "url", "warc_ts", "lang", tokenize_udf(F.col("text")).alias("tokens")
@@ -60,10 +75,6 @@ def _append_batch(
     # the append would see its own output and emit an empty batch.
     with_len = with_ids.withColumn("doc_len", F.size("tokens").cast("int")).localCheckpoint()
 
-    with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
-        "append"
-    ).parquet(f"{index_dir}/docs")
-
     # token-level rows; tf is computed inside the encode group (run-length)
     tf = (
         with_len.select("doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("term"))
@@ -71,9 +82,13 @@ def _append_batch(
         .withColumn("salt", F.lit(1000 + epoch_id).cast("int"))  # segment generation tag
     )
     segs = tf.groupBy("bucket", "salt").applyInPandas(_encode_group(), SEGMENT_SCHEMA)
-    segs.write.mode("append").partitionBy("bucket").parquet(
+    segs.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/segments/chunk=stream{epoch_id}"
     )
+
+    with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
+        "append"
+    ).parquet(f"{index_dir}/docs")
 
     Manifest(index_dir).mark_done("stream_batch", str(epoch_id))
 
@@ -100,6 +115,11 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> None:
     spark.read.parquet(f"{index_dir}/dictionary_new").write.mode("overwrite").parquet(
         f"{index_dir}/dictionary"
     )
+    # the deletion-key index derives from the dictionary — rebuild it too
+    if os.path.exists(f"{index_dir}/fuzzy_keys"):
+        from find_that_charity_spark.operators.build import write_fuzzy_keys
+
+        write_fuzzy_keys(spark, index_dir)
 
 
 def incremental_refresh(

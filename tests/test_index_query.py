@@ -47,7 +47,7 @@ def test_build_metrics(index, spark):
     assert index["metrics"]["n_head_terms"] > 0, "Zipf heads should trigger salting"
     mf = Manifest(index["index"])
     stages = {e["stage"] for e in mf.entries()}
-    assert stages == {"tokenized", "docs", "segments", "compact", "dictionary"}
+    assert stages == {"tokenized", "docs", "segments", "compact", "dictionary", "fuzzy_keys"}
     segs = spark.read.parquet(f"{index['index']}/segments")
     assert segs.where("salt > 0").count() > 0, "head terms should be sharded"
 
