@@ -387,19 +387,22 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_events_json_native(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E13 native JSON surface: from_json (schema'd parse) + get_json_object
-    (path extraction) — not regexp over the raw string."""
+    """E13 native JSON + map surface: from_json to a MAP type (element_at /
+    map_keys) plus get_json_object path extraction — not regexp."""
     e = read_table(spark, sf_dir, "events")
-    parsed = e.withColumn("k_parsed", F.from_json("props", "k BIGINT")["k"]).withColumn(
-        "k_path", F.get_json_object("props", "$.k").cast("bigint")
+    parsed = (
+        e.withColumn("pmap", F.from_json("props", "map<string,bigint>"))
+        .withColumn("k_map", F.element_at("pmap", F.lit("k")))
+        .withColumn("k_path", F.get_json_object("props", "$.k").cast("bigint"))
     )
     return (
         parsed.groupBy("event_type")
         .agg(
-            F.sum("k_parsed").cast("bigint").alias("sum_k"),
+            F.sum("k_map").cast("bigint").alias("sum_k"),
             F.max("k_path").cast("bigint").alias("max_k"),
+            F.sum(F.size(F.map_keys("pmap"))).cast("bigint").alias("n_keys"),
             F.sum(
-                F.when(F.col("k_parsed") == F.col("k_path"), 1).otherwise(0)
+                F.when(F.col("k_map") == F.col("k_path"), 1).otherwise(0)
             ).cast("bigint").alias("n_consistent"),
         )
         .orderBy("event_type")
@@ -770,6 +773,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
                    CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+                   CAST(sum(len(json_keys(props))) AS BIGINT) AS n_keys,
                    CAST(count(*) AS BIGINT) AS n_consistent
             FROM events GROUP BY event_type ORDER BY event_type
         """,

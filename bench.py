@@ -46,6 +46,9 @@ HEADLINE = [
     "ann_cosine_ivf",
     "quality_top20",
     "lang_id_counts",
+    "events_json_native",
+    "multimodal_features",
+    "add_to_csv_recon",
 ]
 
 ENGINE_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))

@@ -33,6 +33,32 @@ def deletion_keys(term: str) -> list[str]:
     return list(dict.fromkeys([term] + [term[:i] + term[i + 1 :] for i in range(len(term))]))
 
 
+def within_edit1(a: str, b: str) -> bool:
+    """Scalar levenshtein(a, b) <= 1 in O(len) (driver-side verify of
+    deletion-key candidates — a shared key only bounds the distance at 2)."""
+    if a == b:
+        return True
+    la, lb = len(a), len(b)
+    if abs(la - lb) > 1:
+        return False
+    if la > lb:
+        a, b, la, lb = b, a, lb, la
+    i = j = 0
+    used_edit = False
+    while i < la and j < lb:
+        if a[i] == b[j]:
+            i += 1
+            j += 1
+            continue
+        if used_edit:
+            return False
+        used_edit = True
+        if la == lb:
+            i += 1  # substitution
+        j += 1      # (or) insertion into the shorter string
+    return True  # any leftover tail char in b is the single edit
+
+
 def deletion_keys_expr(col: str) -> Column:
     """JVM-side twin of :func:`deletion_keys` (array<string> Column).
 

@@ -311,6 +311,30 @@ def build_index(
         corpus = read_corpus(spark, corpus_source)
         corpus_source_name = corpus_source
 
+    # Every build shuffle is substantial (corpus-sized or dictionary-sized),
+    # so AQE's post-shuffle coalescing only narrows stages to ~1.2 task
+    # waves per core and leaves stage tails idle (measured: ~25% of build
+    # wall at 8 cores). Scope the override to the build; queries keep AQE
+    # coalescing (their exchanges ARE small).
+    _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    _coalesce_prev = spark.conf.get(_coalesce_key, "true")
+    spark.conf.set(_coalesce_key, "false")
+    try:
+        return _build_index_body(spark, corpus, corpus_source_name, index_dir, cfg, mf, metrics)
+    finally:
+        spark.conf.set(_coalesce_key, _coalesce_prev)
+
+
+def _build_index_body(
+    spark: SparkSession,
+    corpus: DataFrame,
+    corpus_source_name: str,
+    index_dir: str,
+    cfg: BuildConfig,
+    mf: Manifest,
+    metrics: dict,
+) -> dict:
+
     # ---- stage: tokenized (C2-C5) ----------------------------------------
     # One pass over the corpus: dedup -> extract -> deterministic ids ->
     # tokenize -> write a TRANSIENT tokenized table. Everything downstream
@@ -342,12 +366,48 @@ def build_index(
 
     tokenized = spark.read.parquet(f"{index_dir}/tokenized")
 
+    # C8 pass 1: head-term detection from a seeded DOC SAMPLE — a head
+    # term (postings > cap) is massively represented in any few-million-
+    # token sample, so estimated counts find it reliably without a full
+    # explode+shuffle pass. Split spans only shape group sizes
+    # (correctness is unaffected), so estimation error just wiggles
+    # segment boundaries. Runs in a CONCURRENT job thread overlapped with
+    # the docs-table write (both need only the tokenized table) — the
+    # sequential version left the cluster idle for the sample job's
+    # duration between the docs and segments stages.
+    need_segments = any(
+        not mf.is_done("segments", str(c)) for c in range(cfg.segment_chunks)
+    )
+    head_out: dict = {}
+
+    def _detect_heads(total_tokens: int) -> None:
+        try:
+            fraction = min(1.0, cfg.head_sample_tokens / max(1, total_tokens))
+            sample = tokenized if fraction >= 1.0 else tokenized.sample(
+                fraction=fraction, seed=42
+            )
+            est_counts = (
+                sample.select("doc_id", F.explode("tokens").alias("term"))
+                .groupBy("term")
+                # postings = distinct docs per term (df), NOT token count
+                .agg((F.countDistinct("doc_id") / fraction).alias("est"))
+                .where(F.col("est") > cfg.max_postings_per_segment * 0.5)
+                .collect()
+            )
+            head_out["rows"] = [
+                r for r in est_counts
+                if np.ceil(r["est"] / cfg.max_postings_per_segment) > 1
+            ]
+        except BaseException as exc:  # surfaced at join time
+            head_out["err"] = exc
+
+    head_thread = None
+
     # ---- stage: docs + stats (C6) ----------------------------------------
     if not mf.is_done("docs"):
         t0 = time.time()
-        tokenized.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/docs")
+        # stats first: one cheap column-pruned agg, after which the
+        # head-detection job can run concurrently with the docs write
         stats_row = tokenized.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_len").cast("long").alias("total_len"),
@@ -356,6 +416,16 @@ def build_index(
         spark.createDataFrame([stats_row]).write.mode("overwrite").parquet(
             f"{index_dir}/corpus_stats"
         )
+        if need_segments:
+            import threading
+
+            head_thread = threading.Thread(
+                target=_detect_heads, args=(int(stats_row["total_len"] or 0),)
+            )
+            head_thread.start()
+        tokenized.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/docs")
         mf.mark_done(
             "docs",
             n_docs=stats_row["n_docs"],
@@ -368,6 +438,8 @@ def build_index(
     n_docs = int(stats["n_docs"])
     metrics["n_docs"] = n_docs
     metrics["avgdl"] = avgdl
+    if need_segments and head_thread is None:  # resume path: docs was done
+        _detect_heads(int(stats["total_len"] or 0))
 
     # ---- stage: segments (C7-C9, C12) ----------------------------------
     def tf_table() -> DataFrame:
@@ -392,30 +464,11 @@ def build_index(
                 tf = tf_table().withColumn(
                     "bucket", F.pmod(F.xxhash64("term"), F.lit(cfg.num_buckets)).cast("int")
                 )
-                # C8 pass 1: head-term detection from a seeded DOC SAMPLE —
-                # a head term (postings > cap) is massively represented in
-                # any few-million-token sample, so estimated counts find it
-                # reliably without a full explode+shuffle pass. On small
-                # corpora the fraction clamps to 1.0 => exact counts. Split
-                # spans only shape group sizes (correctness is unaffected),
-                # so estimation error just wiggles segment boundaries.
-                total_tokens = int(stats["total_len"] or 0)
-                fraction = min(1.0, cfg.head_sample_tokens / max(1, total_tokens))
-                sample = tokenized if fraction >= 1.0 else tokenized.sample(
-                    fraction=fraction, seed=42
-                )
-                est_counts = (
-                    sample.select("doc_id", F.explode("tokens").alias("term"))
-                    .groupBy("term")
-                    # postings = distinct docs per term (df), NOT token count
-                    .agg((F.countDistinct("doc_id") / fraction).alias("est"))
-                    .where(F.col("est") > cfg.max_postings_per_segment * 0.5)
-                    .collect()
-                )
-                head_rows = [
-                    r for r in est_counts
-                    if np.ceil(r["est"] / cfg.max_postings_per_segment) > 1
-                ]
+                if head_thread is not None:
+                    head_thread.join()
+                if "err" in head_out:
+                    raise head_out["err"]
+                head_rows = head_out.get("rows", [])
                 if head_rows:
                     spans = [
                         (
@@ -442,9 +495,19 @@ def build_index(
             lo = chunk * cfg.num_buckets // cfg.segment_chunks
             hi = (chunk + 1) * cfg.num_buckets // cfg.segment_chunks
             part = tf.where((F.col("bucket") >= lo) & (F.col("bucket") < hi))
-            segs = part.groupBy("bucket", "salt").applyInPandas(
-                _encode_group(positions=cfg.positions), SEGMENT_SCHEMA
+            # explicit repartition on the group keys: groupBy reuses the
+            # hash partitioning (no second exchange), the user-specified
+            # partition count is exempt from AQE coalescing, and >= 4
+            # task waves per core keep the Zipf-skewed encode groups from
+            # ending the stage in a straggler tail (measured ~8s of the
+            # 39s encode wall at 8 cores before this).
+            n_enc = max(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                spark.sparkContext.defaultParallelism * 4,
             )
+            segs = part.repartition(n_enc, "bucket", "salt").groupBy(
+                "bucket", "salt"
+            ).applyInPandas(_encode_group(positions=cfg.positions), SEGMENT_SCHEMA)
             segs.write.mode("overwrite").partitionBy("bucket").parquet(
                 f"{index_dir}/segments/chunk={chunk}"
             )

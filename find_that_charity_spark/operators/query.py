@@ -497,6 +497,10 @@ class IndexSearcher:
             for i, t in enumerate(toks):
                 offsets.setdefault(t, []).append(i)
             pos = set(toks)
+        elif mode == "fuzzy":
+            pos = self._expand_fuzzy(sorted(set(analyze_name(text or ""))))
+            if not pos:
+                return []
         else:
             for word in (text or "").split():
                 (neg if word.startswith("-") else pos).update(qa(word.lstrip("-")))
@@ -528,6 +532,36 @@ class IndexSearcher:
         scorer = make_query_scorer(self.n_docs, self.avgdl, use_bmw=True)
         out = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA).collect()
         return [(r["rank"], r["doc_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
+
+    def _expand_fuzzy(self, qterms: list[str]) -> set[str]:
+        """Edit-distance-1 expansion via the fuzzy_keys deletion index
+        (pushed IN-list scan) with a scalar verify; falls back to a
+        filter over the memory-pinned dictionary for older indexes."""
+        from find_that_charity_spark.functions.fuzzy import deletion_keys, within_edit1
+
+        keys = sorted({key for t in qterms for key in deletion_keys(t)})
+        try:
+            cand = (
+                self.spark.read.parquet(f"{self.index_dir}/fuzzy_keys")
+                .where(F.col("key").isin(keys))
+                .select("term")
+                .distinct()
+                .collect()
+            )
+        except Exception:
+            from functools import reduce
+
+            conds = [
+                (F.abs(F.length("term") - len(t)) <= 1)
+                & (F.levenshtein(F.col("term"), F.lit(t)) <= 1)
+                for t in qterms
+            ]
+            cand = self.dictionary.where(reduce(lambda a, b: a | b, conds)).select(
+                "term"
+            ).collect()
+        return {
+            r["term"] for r in cand if any(within_edit1(r["term"], t) for t in qterms)
+        }
 
     def close(self) -> None:
         self.dictionary.unpersist()
@@ -646,6 +680,7 @@ def run_queries(
             for t in sorted(set(analyze_name(r["text"])))
             for key in deletion_keys(t)
         ]
+    if fuzzy_rows and fq_pairs:
         fq_keys = spark.createDataFrame(
             fq_pairs, "qid string, k int, qterm string, key string"
         )

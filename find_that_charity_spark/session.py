@@ -77,7 +77,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # UDF-heavy scans (tokenize) underutilize executors with the 128 MB
+        # default split size: a small corpus yields fewer map tasks than
+        # cores, and the whole stage is then split-bound. 32 MB keeps map
+        # parallelism >= cores at every measured scale and is still coarse
+        # enough at 100 TB (~3M map tasks).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "33554432"),
+        )
     )
+    # arbitrary per-run conf overrides (experiments, cluster tuning):
+    # SPARK_GRAFT_CONF='{"spark.sql.adaptive.enabled": "false"}'
+    extra = os.environ.get("SPARK_GRAFT_CONF")
+    if extra:
+        import json
+
+        for k, v in json.loads(extra).items():
+            builder = builder.config(k, str(v))
     spark = builder.getOrCreate()
     ensure_pyfiles(spark)
     return spark

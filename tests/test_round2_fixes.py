@@ -120,6 +120,39 @@ def test_fuzzy_keys_table(spark, index):
     assert "levenshtein" not in plan.lower()
 
 
+def test_within_edit1_matches_dp():
+    """Exhaustive check of the O(len) edit<=1 test vs the DP distance."""
+    import itertools
+
+    from find_that_charity_spark.functions.fuzzy import within_edit1
+
+    words = ["".join(p) for n in range(4) for p in itertools.product("abc", repeat=n)]
+    for a in words:
+        for b in words:
+            assert within_edit1(a, b) == (_lev(a, b) <= 1), (a, b)
+
+
+def test_index_searcher_fuzzy_parity(spark, index):
+    """Warm-path fuzzy == batch-path fuzzy (same expansion, same scores)."""
+    from find_that_charity_spark.operators.query import IndexSearcher
+
+    searcher = IndexSearcher(spark, index)
+    try:
+        got = searcher.search("w0001", k=15, mode="fuzzy")
+    finally:
+        searcher.close()
+    qdf = spark.createDataFrame(
+        [("q", "w0001", 15, "fuzzy")], "qid string, text string, k int, mode string"
+    )
+    want = run_queries(spark, index, qdf).toPandas().sort_values("rank")
+    assert [(r, d) for r, d, _ in got] == list(
+        zip(want["rank"].tolist(), want["doc_id"].tolist())
+    )
+    np.testing.assert_allclose(
+        np.array([s for _, _, s in got]), want["score"].to_numpy(), rtol=1e-12
+    )
+
+
 # ---------------------------------------------------------------------------
 # simhash banding radius
 # ---------------------------------------------------------------------------
