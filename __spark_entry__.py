@@ -386,6 +386,21 @@ def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_cosine_topk(model, assigned, q, k=10, nprobe=8, exclude_id=0)
 
 
+def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Planted vector dups (id-shifted exact copies -> cos 1.0) keep the
+    # check non-vacuous; probe_radius = n_bits probes every SRP bucket so
+    # the output is exactly all-pairs >= threshold and the brute-force
+    # DuckDB oracle applies. Fixture vectors top out near cos ~0.5, far
+    # from the 0.95 threshold — no cross-engine boundary flips.
+    from find_that_charity_spark.operators.similarity import embedding_cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    return embedding_cosine_pairs(
+        emb.unionByName(shifted), threshold=0.95, probe_radius=8
+    ).orderBy("id_a", "id_b")
+
+
 def _q_events_json_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 native JSON + map surface: from_json to a MAP type (element_at /
     map_keys) plus get_json_object path extraction — not regexp."""
@@ -565,6 +580,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_json_native": _q_events_json_native,
         "multimodal_features": _q_multimodal_features,
         "add_to_csv_recon": _q_add_to_csv,
+        "embedding_cosine_dups": _q_embedding_dups,
     }
 
 
@@ -788,6 +804,24 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE doc_id < 40 ORDER BY media_id
         """,
         "add_to_csv_recon": _add_to_csv_oracle_sql(),
+        "embedding_cosine_dups": """
+            WITH base AS (SELECT vec_id AS id, embedding AS v FROM embeddings),
+            alldocs AS (
+              SELECT id, v FROM base
+              UNION ALL SELECT id + 100000, v FROM base
+            ),
+            pairs AS (
+              SELECT a.id AS id_a, b.id AS id_b,
+                     list_dot_product(CAST(a.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])) /
+                     (sqrt(list_dot_product(CAST(a.v AS DOUBLE[]), CAST(a.v AS DOUBLE[]))) *
+                      sqrt(list_dot_product(CAST(b.v AS DOUBLE[]), CAST(b.v AS DOUBLE[])))) AS cos
+              FROM alldocs a JOIN alldocs b ON a.id < b.id
+            )
+            SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+                   CAST(floor(cos * 1e4 + 0.5) AS BIGINT) AS cos_mil
+            FROM pairs WHERE cos >= 0.95
+            ORDER BY id_a, id_b
+        """,
     }
 
 

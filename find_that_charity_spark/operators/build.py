@@ -500,10 +500,18 @@ def _build_index_body(
             # partition count is exempt from AQE coalescing, and >= 4
             # task waves per core keep the Zipf-skewed encode groups from
             # ending the stage in a straggler tail (measured ~8s of the
-            # 39s encode wall at 8 cores before this).
-            n_enc = max(
-                int(spark.conf.get("spark.sql.shuffle.partitions")),
-                spark.sparkContext.defaultParallelism * 4,
+            # 39s encode wall at 8 cores before this). Data-aware: small
+            # corpora cap at ~500k tokens/partition so a tiny build does
+            # not fragment the segment store into hundreds of files.
+            n_enc = min(
+                max(
+                    int(spark.conf.get("spark.sql.shuffle.partitions")),
+                    spark.sparkContext.defaultParallelism * 4,
+                ),
+                max(
+                    spark.sparkContext.defaultParallelism,
+                    int(stats["total_len"] or 0) // 500_000 + 1,
+                ),
             )
             segs = part.repartition(n_enc, "bucket", "salt").groupBy(
                 "bucket", "salt"

@@ -151,6 +151,77 @@ def srp_bucket_expr(vec_col: str, planes: np.ndarray) -> Column:
     return out
 
 
+def embedding_cosine_pairs(
+    emb: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 8,
+    dim: int = 64,
+    seed: int = 13,
+    probe_radius: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS (the vector member of the
+    dedup family, next to MinHash/SimHash on the text side).
+
+    Scale path: every vector gets an SRP bucket; the left side multi-probe
+    expands to buckets within hamming ``probe_radius`` and candidates come
+    from an equi-join on bucket — never an all-pairs cross join. Exact
+    cosine verifies each candidate. ``probe_radius = n_bits`` probes every
+    bucket and degenerates to exact all-pairs through the same machinery —
+    the correctness-gate setting (brute-force SQL oracle applies); partial
+    -probe recall is pytest-covered.
+
+    Output: (id_a, id_b, cos_mil) with id_a < id_b, cosine >= threshold,
+    quantized to 1e-4.
+    """
+    from itertools import combinations
+
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bits, dim))
+    bucketed = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    ).withColumn("bucket", srp_bucket_expr("vec", planes))
+    masks = [0] + [
+        sum(1 << b for b in bits)
+        for r in range(1, probe_radius + 1)
+        for bits in combinations(range(n_bits), r)
+    ]
+    left = bucketed.select(
+        "id",
+        "vec",
+        F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    cand = (
+        left.alias("l")
+        .join(
+            bucketed.alias("r"),
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.vec").alias("va"),
+            F.col("r.vec").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = _dot(F.col("va"), F.col("vb")) / (
+        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
+    )
+    return (
+        cand.withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select(
+            F.col("id_a").cast("bigint"),
+            F.col("id_b").cast("bigint"),
+            F.floor(F.col("cos") * 1e4 + F.lit(0.5)).cast("bigint").alias("cos_mil"),
+        )
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_vec_id: int,

@@ -264,6 +264,25 @@ def test_minhash_recall_and_estimate_quality(spark):
         assert abs(est_mil / 1000 - exact) <= 0.3, (a, b, est_mil, exact)
 
 
+def test_embedding_cosine_pairs_probe_recall(spark, sf_small):
+    """Planted identical-vector pairs land in the SAME SRP bucket, so even
+    radius-0 probing recalls all of them; wider probing only adds pairs."""
+    from find_that_charity_spark.operators.similarity import embedding_cosine_pairs
+    from find_that_charity_spark.sources.corpus import read_table
+
+    emb = read_table(spark, sf_small, "embeddings").where(F.col("vec_id") < 100)
+    shifted = emb.withColumn("vec_id", F.col("vec_id") + F.lit(100000))
+    both = emb.unionByName(shifted)
+    r0 = embedding_cosine_pairs(both, threshold=0.95, probe_radius=0).collect()
+    r0_pairs = {(r["id_a"], r["id_b"]) for r in r0}
+    for i in range(100):
+        assert (i, i + 100000) in r0_pairs, f"planted identical pair {i} missed"
+    assert all(r["cos_mil"] == 10000 for r in r0 if r["id_b"] - r["id_a"] == 100000)
+    full = embedding_cosine_pairs(both, threshold=0.95, probe_radius=8).collect()
+    full_pairs = {(r["id_a"], r["id_b"]) for r in full}
+    assert r0_pairs <= full_pairs
+
+
 # ---------------------------------------------------------------------------
 # dedup tie-break
 # ---------------------------------------------------------------------------
