@@ -73,6 +73,7 @@ def _ensure_segment_index(spark: SparkSession, sf_dir: str) -> str:
             BuildConfig(
                 num_buckets=8, id_buckets=1, max_postings_per_segment=5000,
                 positions=True,  # phrase-query gate needs positional postings
+                aqe_coalesce=True,  # toy-corpus setting (see BuildConfig)
             ),
         )
         _SEG_INDEX_CACHE[sf_dir] = idx

@@ -46,10 +46,12 @@ HEADLINE = [
     "ann_cosine_ivf",
     "quality_top20",
     "lang_id_counts",
-    "events_json_native",
-    "multimodal_features",
-    "add_to_csv_recon",
+    "events_json_native",   # added round 2 —
+    "multimodal_features",  # the r01 bench had 19 queries; totals are
+    "add_to_csv_recon",     # comparable via queries_r01_subtotal
 ]
+
+_R01_QUERIES = 19  # first 19 entries above == the round-1 headline set
 
 ENGINE_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
@@ -69,7 +71,7 @@ def engine_bench(spark) -> dict:
         f"{fx}/web_pages.parquet",
         idx,
         BuildConfig(num_buckets=32, id_buckets=64, max_postings_per_segment=100_000,
-                    segment_chunks=1),
+                    segment_chunks=1, aqe_coalesce=True),  # toy-corpus setting
     )
     build_wall = time.perf_counter() - t0
 
@@ -137,6 +139,11 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
+                # apples-to-apples vs BENCH_r01.json (19-query headline set;
+                # round 2 added 3 queries to the total above)
+                "queries_r01_subtotal": round(
+                    sum(timings.get(q, 0.0) for q in HEADLINE[:_R01_QUERIES]), 3
+                ),
                 "sf": sf,
                 "engine": engine,
             }

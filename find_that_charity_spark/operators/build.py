@@ -91,6 +91,10 @@ class BuildConfig:
     head_sample_tokens: int = 5_000_000  # doc-sample size for head detection
     positions: bool = False        # store token positions (phrase queries)
     fuzzy_keys: bool = True        # materialize the deletion-key index (D2)
+    aqe_coalesce: bool = False     # AQE post-shuffle coalescing during build
+    # (off by default: corpus-sized shuffles got narrowed to ~1.2 task
+    # waves/core, idling stage tails — BENCH/BASELINE.md; turn on for
+    # toy corpora where per-task overhead dominates)
 
 
 def _extract_text() -> "F.Column":
@@ -318,7 +322,7 @@ def build_index(
     # coalescing (their exchanges ARE small).
     _coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
     _coalesce_prev = spark.conf.get(_coalesce_key, "true")
-    spark.conf.set(_coalesce_key, "false")
+    spark.conf.set(_coalesce_key, str(cfg.aqe_coalesce).lower())
     try:
         return _build_index_body(spark, corpus, corpus_source_name, index_dir, cfg, mf, metrics)
     finally:

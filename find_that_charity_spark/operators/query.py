@@ -472,7 +472,9 @@ class IndexSearcher:
     which the reference queries, is likewise a warm long-lived service).
     """
 
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(
+        self, spark: SparkSession, index_dir: str, preload_terms: int = 2_000_000
+    ):
         self.spark = spark
         self.index_dir = index_dir
         self.n_docs, self.avgdl = load_stats(spark, index_dir)
@@ -481,7 +483,17 @@ class IndexSearcher:
             .select("term", "bucket", "df")
             .persist()
         )
-        self.dictionary.count()  # materialize the cache
+        n_terms = self.dictionary.count()  # materialize the cache
+        # ES keeps the terms dictionary in node heap; the analog here is a
+        # driver-side term map when it fits (~100 B/term), turning the
+        # per-query dictionary probe job into a dict lookup — one Spark
+        # job per query instead of two. Web-scale dictionaries (10^8-10^9
+        # terms) exceed the bound and keep the executor-cached probe.
+        self._term_map: dict[str, tuple[int, int]] | None = None
+        if n_terms <= preload_terms:
+            self._term_map = {
+                r["term"]: (r["bucket"], r["df"]) for r in self.dictionary.collect()
+            }
         self.segments = spark.read.parquet(f"{index_dir}/segments")
 
     def search(self, text: str, k: int = 10, mode: str = "freetext") -> list:
@@ -507,13 +519,16 @@ class IndexSearcher:
         all_terms = sorted(pos | neg)
         if not pos:
             return []
-        matched = self.dictionary.where(F.col("term").isin(all_terms)).collect()
-        if not any(r["term"] in pos for r in matched):
+        if self._term_map is not None:
+            by_term = {t: self._term_map[t] for t in all_terms if t in self._term_map}
+        else:
+            matched = self.dictionary.where(F.col("term").isin(all_terms)).collect()
+            by_term = {r["term"]: (r["bucket"], r["df"]) for r in matched}
+        if not any(t in by_term for t in pos):
             return []
-        by_term = {r["term"]: r for r in matched}
-        buckets = sorted({r["bucket"] for r in matched})
+        buckets = sorted({b for b, _ in by_term.values()})
         qrows = [
-            ("q", k, mode, t in neg, len(pos), t, int(by_term[t]["df"]), offsets.get(t))
+            ("q", k, mode, t in neg, len(pos), t, int(by_term[t][1]), offsets.get(t))
             for t in all_terms
             if t in by_term
         ]
@@ -574,6 +589,7 @@ def run_queries(
     use_bmw: bool = True,
     join_urls: bool = False,
     doc_shards: int | None = None,
+    localize_threshold: int = 10_000,
 ) -> DataFrame:
     """Answer a batch of queries (qid, text, k, mode) against the index.
 
@@ -729,8 +745,11 @@ def run_queries(
     # beyond driver comfort) keeps the matched set distributed instead —
     # bucket pruning survives via a distinct-buckets collect (bounded by
     # num_buckets), and the segments join falls back to a shuffle join.
-    n_queries = queries_df.count()
-    if n_queries <= 10_000:
+    if queries_df.isLocal():  # driver-local batch: size check without a job
+        n_queries = len(queries_df.take(localize_threshold + 1))
+    else:
+        n_queries = queries_df.count()
+    if n_queries <= localize_threshold:
         matched_rows = matched.collect()
         if not matched_rows:
             return spark.createDataFrame([], RESULTS_SCHEMA)
@@ -780,7 +799,7 @@ def run_queries(
         )
         partial = sharded.groupBy("qid", "shard").applyInPandas(scorer, RESULTS_SCHEMA)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-        qk = (matched_local if n_queries <= 10_000 else matched).select("qid", "k")
+        qk = (matched_local if n_queries <= localize_threshold else matched).select("qid", "k")
         results = (
             partial.join(
                 F.broadcast(qk.dropDuplicates(["qid"])), "qid"

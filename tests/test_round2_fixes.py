@@ -120,6 +120,29 @@ def test_fuzzy_keys_table(spark, index):
     assert "levenshtein" not in plan.lower()
 
 
+def test_run_queries_distributed_matched_path(spark, index):
+    """localize_threshold=0 forces the huge-batch branch (matched term set
+    stays distributed, shuffle join); results must equal the localized
+    (driver-materialized broadcast) default path exactly."""
+    qdf = spark.createDataFrame(
+        [
+            ("a", "w0001 w0042", 10, "freetext"),
+            ("b", "charitable trust", 5, "bool_and"),
+            ("c", "custmer", 10, "fuzzy"),
+        ],
+        "qid string, text string, k int, mode string",
+    )
+    local = run_queries(spark, index, qdf).toPandas().sort_values(["qid", "rank"])
+    dist = run_queries(spark, index, qdf, localize_threshold=0).toPandas().sort_values(
+        ["qid", "rank"]
+    )
+    assert local["qid"].tolist() == dist["qid"].tolist()
+    assert local["doc_id"].tolist() == dist["doc_id"].tolist()
+    np.testing.assert_allclose(
+        local["score"].to_numpy(), dist["score"].to_numpy(), rtol=1e-12
+    )
+
+
 def test_within_edit1_matches_dp():
     """Exhaustive check of the O(len) edit<=1 test vs the DP distance."""
     import itertools
@@ -151,6 +174,29 @@ def test_index_searcher_fuzzy_parity(spark, index):
     np.testing.assert_allclose(
         np.array([s for _, _, s in got]), want["score"].to_numpy(), rtol=1e-12
     )
+
+
+def test_index_searcher_preload_parity(spark, index):
+    """Driver-preloaded term map (small dictionaries) and executor-cached
+    probe (web-scale fallback) must answer identically."""
+    from find_that_charity_spark.operators.query import IndexSearcher
+
+    s_pre = IndexSearcher(spark, index)
+    s_probe = IndexSearcher(spark, index, preload_terms=0)
+    assert s_pre._term_map is not None and s_probe._term_map is None
+    try:
+        for text, mode in [
+            ("w0001 w0042", "freetext"),
+            ("charitable -trust", "freetext"),
+            ("acme charitable trust", "recon"),
+            ("slow fast", "phrase"),
+        ]:
+            assert s_pre.search(text, 10, mode) == s_probe.search(text, 10, mode), (
+                text, mode,
+            )
+    finally:
+        s_pre.close()
+        s_probe.close()
 
 
 # ---------------------------------------------------------------------------
