@@ -515,6 +515,22 @@ def _q_segments_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_topk(spark, sf_dir, "custmer quary", "fuzzy", k=10)
 
 
+def _q_segments_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_shards path: one query scored in 4 parallel doc-range shards,
+    shard top-ks merged by a window — must equal the unsharded oracle."""
+    idx = _ensure_segment_index(spark, sf_dir)
+    qdf = spark.createDataFrame(
+        [("q1", FLAGSHIP_QUERY, 10, "freetext")],
+        "qid string, text string, k int, mode string",
+    )
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True, doc_shards=4)
+    return res.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
+    )
+
+
 def _q_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Build-side invariants: dictionary/posting totals vs raw recount."""
     idx = _ensure_segment_index(spark, sf_dir)
@@ -551,6 +567,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_not": _q_segments_not,
         "bm25_segments_phrase": _q_segments_phrase,
         "bm25_segments_fuzzy": _q_segments_fuzzy,
+        "bm25_segments_sharded": _q_segments_sharded,
         "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
         "bm25_topk_single_term": _q_bm25_single_term,
@@ -617,6 +634,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_not": bm25_topk_sql("customer -query", k=10),
         "bm25_segments_phrase": phrase_topk_sql("slow fast", k=10),
         "bm25_segments_fuzzy": fuzzy_topk_sql("custmer quary", k=10),
+        "bm25_segments_sharded": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "index_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents
