@@ -75,13 +75,31 @@ def _append_batch(
     # the append would see its own output and emit an empty batch.
     with_len = with_ids.withColumn("doc_len", F.size("tokens").cast("int")).localCheckpoint()
 
+    # match the base index's positional-ness: appending position-less
+    # segments to a positional index would silently break phrase queries
+    # over the appended docs (and compaction would drop positions for any
+    # term it merges)
+    positions = bool(
+        spark.read.parquet(f"{index_dir}/segments")
+        .select("has_positions")
+        .first()["has_positions"]
+    )
     # token-level rows; tf is computed inside the encode group (run-length)
+    exploded = with_len.select(
+        "doc_id",
+        F.col("doc_len").alias("dl"),
+        F.posexplode("tokens").alias("pos", "term"),
+    )
+    if not positions:
+        exploded = exploded.drop("pos")
     tf = (
-        with_len.select("doc_id", F.col("doc_len").alias("dl"), F.explode("tokens").alias("term"))
+        exploded
         .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
         .withColumn("salt", F.lit(1000 + epoch_id).cast("int"))  # segment generation tag
     )
-    segs = tf.groupBy("bucket", "salt").applyInPandas(_encode_group(), SEGMENT_SCHEMA)
+    segs = tf.groupBy("bucket", "salt").applyInPandas(
+        _encode_group(positions=positions), SEGMENT_SCHEMA
+    )
     segs.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/segments/chunk=stream{epoch_id}"
     )

@@ -396,6 +396,57 @@ def test_recover_segment_swap_backup_only(tmp_path):
     assert os.path.exists(f"{idx}/segments/old")
 
 
+def test_streaming_append_preserves_positions(spark, tmp_path_factory):
+    """Appending to a POSITIONAL index must produce positional segments,
+    or phrase queries over appended docs break (and compaction would drop
+    positions). Phrase hits on an appended doc must match the brute
+    oracle."""
+    from find_that_charity_spark.functions.analyzer import analyze
+    from find_that_charity_spark.operators.oracle import brute_force_phrase_topk
+    from find_that_charity_spark.streaming.incremental import (
+        _append_batch,
+        refresh_stats,
+    )
+
+    root = tmp_path_factory.mktemp("streampos")
+    pages = synth_web_pages(240)
+    pages = pages.sort_values("warc_ts").groupby("url").tail(1).sort_index()
+    base, batch = pages.iloc[:200], pages.iloc[200:]
+    idx = str(root / "idx")
+    base_path = str(root / "base")
+    spark.createDataFrame(base, WEB_PAGES_SCHEMA).write.parquet(base_path)
+    build_index(
+        spark, base_path, idx,
+        BuildConfig(num_buckets=8, id_buckets=8, segment_chunks=1,
+                    max_postings_per_segment=10_000, positions=True),
+    )
+    _append_batch(spark, spark.createDataFrame(batch, WEB_PAGES_SCHEMA), 0, idx, 8)
+    refresh_stats(spark, idx)
+    segs = spark.read.parquet(f"{idx}/segments")
+    assert segs.where(~F.col("has_positions")).count() == 0
+
+    # phrase taken from an APPENDED doc's text
+    phrase = " ".join(analyze(batch.iloc[0]["text"])[:2])
+    docs_pd = spark.read.parquet(f"{idx}/docs").select("doc_id", "url").toPandas()
+    merged = docs_pd.merge(pages[["url", "text"]], on="url", validate="one_to_one")
+    merged = merged.sort_values("doc_id")
+    qdf = spark.createDataFrame(
+        [("p", phrase, 10, "phrase")], "qid string, text string, k int, mode string"
+    )
+    got = run_queries(spark, idx, qdf).toPandas().sort_values("rank")
+    want = brute_force_phrase_topk(
+        merged["doc_id"].tolist(), merged["text"].tolist(), phrase, k=10
+    )
+    assert got["doc_id"].tolist() == [d for d, _ in want]
+    for s_got, (_, s_want) in zip(got["score"], want):
+        assert s_got == pytest.approx(s_want, rel=1e-6)
+    appended_urls = set(batch["url"])
+    hit_urls = set(
+        merged[merged["doc_id"].isin(got["doc_id"])]["url"]
+    )
+    assert hit_urls & appended_urls, "phrase hits must include appended docs"
+
+
 # ---------------------------------------------------------------------------
 # streaming replay idempotence
 # ---------------------------------------------------------------------------
