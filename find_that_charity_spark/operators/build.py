@@ -578,7 +578,12 @@ def _build_index_body(
 
 
 def write_fuzzy_keys(spark: SparkSession, index_dir: str) -> None:
-    """(Re)materialize the deletion-key expansion of the dictionary."""
+    """(Re)materialize the deletion-key expansion of the dictionary.
+
+    One direct overwrite: the source (dictionary) is a different path, so
+    no staging copy is needed, and this is the index's largest derived
+    table (|dictionary| x (len+1) rows) — writing it twice would double
+    the cost of every build and refresh."""
     from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
 
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
@@ -588,7 +593,4 @@ def write_fuzzy_keys(spark: SparkSession, index_dir: str) -> None:
         "bucket",
         "df",
     )
-    keys.write.mode("overwrite").parquet(f"{index_dir}/fuzzy_keys_new")
-    spark.read.parquet(f"{index_dir}/fuzzy_keys_new").write.mode("overwrite").parquet(
-        f"{index_dir}/fuzzy_keys"
-    )
+    keys.write.mode("overwrite").parquet(f"{index_dir}/fuzzy_keys")

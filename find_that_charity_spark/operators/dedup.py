@@ -129,10 +129,17 @@ def minhash_lsh_pairs(
     Skew guard: a degenerate band bucket (boilerplate/empty docs collapse
     to one signature) would emit O(m²) candidate pairs. Buckets larger
     than ``bucket_cap`` therefore emit STAR pairs only — every member
-    against the bucket's min-id representative (m-1 pairs) — which for
-    dedup purposes is equivalent: the bucket's near-dup clique stays one
-    connected component. Candidate pair count is thus bounded by
-    bucket_cap x |bucket| instead of |bucket|² per bucket.
+    against the bucket's min-id representative (m-1 pairs) — bounding
+    candidates at bucket_cap x |bucket| instead of |bucket|² per bucket.
+    Precision is unaffected (every emitted pair is agreement-verified),
+    but recall inside an over-cap bucket is star-approximate: a pair whose
+    ONLY shared buckets are over-cap is reported through the representative
+    rather than directly, and is lost entirely if neither member clears the
+    threshold against the representative. In the intended regime (over-cap
+    buckets are near-identical boilerplate cliques) members agree with the
+    representative too, and the clique stays one connected component; exact
+    all-pairs output is guaranteed only when no bucket exceeds the cap —
+    the regime minhash_pairs_sql's oracle equivalence also assumes.
     """
     rows_per_band = num_hashes // bands
     sig_udf = minhash_signature_udf(num_hashes, shingle)
@@ -150,6 +157,14 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "band_hash"),
     )
+    # the signature UDF (tokenize + shingle + 64 hashes over every doc) is
+    # the expensive part and feeds several plan branches below (census,
+    # both self-join sides, star path) — persist so it computes once;
+    # MEMORY_AND_DISK because signatures of a web-scale corpus exceed
+    # executor memory. ContextCleaner reclaims it when unreferenced.
+    from pyspark import StorageLevel
+
+    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
     # bucket-size census; over-cap buckets are few (degenerate cliques)
     over = (
         banded.groupBy("band", "band_hash")

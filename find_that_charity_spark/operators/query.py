@@ -670,47 +670,73 @@ def run_queries(
         "qid", "k", "mode", "neg", "q_offsets", "term",
         F.col("df").alias("df_global"), "bucket",
     )
+    # batch size decides driver-side vs distributed handling below; for
+    # driver-local batches the check costs no Spark job
+    if queries_df.isLocal():
+        n_queries = len(queries_df.take(localize_threshold + 1))
+    else:
+        n_queries = queries_df.count()
+
     # mode 'fuzzy' (ES fuzziness=1 analog, typo-tolerant reconciliation):
     # expand each query term to every dictionary term within edit
     # distance 1, then score as a plain OR over the expansions, each with
     # its own idf. The expansion is a deletion-neighborhood EQUI-join
-    # (functions/fuzzy.py): query keys are collected (|qterms|*(len+1),
-    # tiny) and pushed into the precomputed fuzzy_keys scan as an
-    # IN-list; the exact levenshtein check runs only on the key-matched
-    # candidates — never a scan-wide levenshtein over the dictionary.
-    fuzzy_rows = (
-        queries_df.where(F.col("mode") == "fuzzy")
-        .select("qid", F.col("k").cast("int").alias("k"), "text")
-        .collect()
-    )
-    if fuzzy_rows:
-        from find_that_charity_spark.functions.analyzer import analyze_name
-        from find_that_charity_spark.functions.fuzzy import (
-            deletion_keys,
-            deletion_keys_expr,
-        )
+    # (functions/fuzzy.py); the exact levenshtein check runs only on the
+    # key-matched candidates — never a scan-wide levenshtein over the
+    # dictionary. Small batches collect their (tiny, |qterms|*(len+1))
+    # key set and push it into the fuzzy_keys scan as an IN-list; big
+    # batches stay fully distributed (keys via the same JVM expression,
+    # shuffle join on key).
+    from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
 
-        fq_pairs = [
-            (r["qid"], int(r["k"]), t, key)
-            for r in fuzzy_rows
-            for t in sorted(set(analyze_name(r["text"])))
-            for key in deletion_keys(t)
-        ]
-    if fuzzy_rows and fq_pairs:
-        fq_keys = spark.createDataFrame(
-            fq_pairs, "qid string, k int, qterm string, key string"
+    try:  # build-time deletion index
+        cand_terms = spark.read.parquet(f"{index_dir}/fuzzy_keys")
+    except Exception:  # older index without fuzzy_keys: expand inline
+        cand_terms = dictionary.select(
+            "term", "bucket", "df",
+            F.explode(deletion_keys_expr("term")).alias("key"),
         )
-        all_keys = sorted({p[3] for p in fq_pairs})
-        try:  # build-time deletion index (pushed IN-list scan)
-            cand_terms = spark.read.parquet(f"{index_dir}/fuzzy_keys")
-        except Exception:  # older index without fuzzy_keys: expand inline
-            cand_terms = dictionary.select(
-                "term", "bucket", "df",
-                F.explode(deletion_keys_expr("term")).alias("key"),
+    fuzzy_keys_df = None
+    if n_queries <= localize_threshold:
+        fuzzy_rows = (
+            queries_df.where(F.col("mode") == "fuzzy")
+            .select("qid", F.col("k").cast("int").alias("k"), "text")
+            .collect()
+        )
+        if fuzzy_rows:
+            from find_that_charity_spark.functions.analyzer import analyze_name
+            from find_that_charity_spark.functions.fuzzy import deletion_keys
+
+            fq_pairs = [
+                (r["qid"], int(r["k"]), t, key)
+                for r in fuzzy_rows
+                for t in sorted(set(analyze_name(r["text"])))
+                for key in deletion_keys(t)
+            ]
+            if fq_pairs:
+                fq_keys = spark.createDataFrame(
+                    fq_pairs, "qid string, k int, qterm string, key string"
+                )
+                all_keys = sorted({p[3] for p in fq_pairs})
+                # pushed IN-list: the scan reads only matching keys
+                fuzzy_keys_df = F.broadcast(fq_keys)
+                cand_terms = cand_terms.where(F.col("key").isin(all_keys))
+    else:
+        fq = (
+            queries_df.where(F.col("mode") == "fuzzy")
+            .select(
+                "qid",
+                F.col("k").cast("int").alias("k"),
+                F.explode(tokenize_name_udf("text")).alias("qterm"),
             )
+            .dropDuplicates(["qid", "qterm"])
+        )
+        fuzzy_keys_df = fq.select(
+            "qid", "k", "qterm", F.explode(deletion_keys_expr("qterm")).alias("key")
+        )
+    if fuzzy_keys_df is not None:
         fuzzy_matched = (
-            cand_terms.where(F.col("key").isin(all_keys))
-            .join(F.broadcast(fq_keys), "key")
+            cand_terms.join(fuzzy_keys_df, "key")
             .where(
                 (F.abs(F.length("term") - F.length("qterm")) <= 1)
                 & (F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
@@ -745,10 +771,6 @@ def run_queries(
     # beyond driver comfort) keeps the matched set distributed instead —
     # bucket pruning survives via a distinct-buckets collect (bounded by
     # num_buckets), and the segments join falls back to a shuffle join.
-    if queries_df.isLocal():  # driver-local batch: size check without a job
-        n_queries = len(queries_df.take(localize_threshold + 1))
-    else:
-        n_queries = queries_df.count()
     if n_queries <= localize_threshold:
         matched_rows = matched.collect()
         if not matched_rows:
@@ -757,7 +779,12 @@ def run_queries(
         matched_local = spark.createDataFrame(matched_rows, matched.schema)
         matched_side = F.broadcast(matched_local.drop("bucket"))
     else:
-        matched = matched.persist()
+        # localCheckpoint (eager): materializes once (the buckets collect
+        # below + the scoring join both read it), truncates the analyze-UDF
+        # lineage, and is reclaimed by the ContextCleaner when the returned
+        # DataFrame is dropped — unlike persist(), which this long-lived
+        # function could never safely unpersist.
+        matched = matched.localCheckpoint()
         buckets = sorted(
             r["bucket"] for r in matched.select("bucket").distinct().collect()
         )

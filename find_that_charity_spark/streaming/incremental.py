@@ -41,7 +41,12 @@ from find_that_charity_spark.sources.corpus import WEB_PAGES_SCHEMA
 
 
 def _append_batch(
-    spark: SparkSession, batch_df: DataFrame, epoch_id: int, index_dir: str, num_buckets: int
+    spark: SparkSession,
+    batch_df: DataFrame,
+    epoch_id: int,
+    index_dir: str,
+    num_buckets: int,
+    stream_id: str = "default",
 ) -> None:
     # Retry safety under at-least-once foreachBatch replay: (1) a fully
     # committed epoch is skipped via the manifest; (2) segments land in a
@@ -53,7 +58,14 @@ def _append_batch(
     # the docs append instead, the replay would see fresh empty with the
     # segment half missing forever. With this ordering fresh-empty on a
     # marked-not-done epoch means everything already landed: mark and go.
-    if Manifest(index_dir).is_done("stream_batch", str(epoch_id)):
+    #
+    # ``stream_id`` (derived from the checkpoint location) qualifies both
+    # the manifest unit and the segment chunk dir: epoch numbering restarts
+    # at 0 with every NEW checkpoint, so a bare epoch key would silently
+    # skip (or overwrite) a previous stream's batches when a fresh stream
+    # reuses an existing index.
+    unit = f"{stream_id}:{epoch_id}"
+    if Manifest(index_dir).is_done("stream_batch", unit):
         return
     docs = spark.read.parquet(f"{index_dir}/docs")
     base_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
@@ -62,7 +74,7 @@ def _append_batch(
         docs.select("url"), "url", "left_anti"
     )
     if fresh.isEmpty():
-        Manifest(index_dir).mark_done("stream_batch", str(epoch_id), n_new=0)
+        Manifest(index_dir).mark_done("stream_batch", unit, n_new=0)
         return
     tokenized = fresh.select(
         "url", "warc_ts", "lang", tokenize_udf(F.col("text")).alias("tokens")
@@ -101,14 +113,14 @@ def _append_batch(
         _encode_group(positions=positions), SEGMENT_SCHEMA
     )
     segs.write.mode("overwrite").partitionBy("bucket").parquet(
-        f"{index_dir}/segments/chunk=stream{epoch_id}"
+        f"{index_dir}/segments/chunk=stream_{stream_id}_{epoch_id}"
     )
 
     with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
         "append"
     ).parquet(f"{index_dir}/docs")
 
-    Manifest(index_dir).mark_done("stream_batch", str(epoch_id))
+    Manifest(index_dir).mark_done("stream_batch", unit)
 
 
 def refresh_stats(spark: SparkSession, index_dir: str) -> None:
@@ -150,6 +162,10 @@ def incremental_refresh(
     """Drain new corpus files into the index (Trigger.AvailableNow), then
     refresh global stats. Idempotent per-source-file via the streaming
     checkpoint; rank-exactness restored by refresh_stats at the end."""
+    import hashlib
+
+    checkpoint = checkpoint_dir or f"{index_dir}/_stream_checkpoint"
+    stream_id = hashlib.md5(checkpoint.encode("utf-8")).hexdigest()[:8]
     stream = (
         spark.readStream.schema(WEB_PAGES_SCHEMA)
         .option("maxFilesPerTrigger", 4)
@@ -157,9 +173,11 @@ def incremental_refresh(
     )
     q = (
         stream.writeStream.foreachBatch(
-            lambda df, epoch: _append_batch(spark, df, epoch, index_dir, num_buckets)
+            lambda df, epoch: _append_batch(
+                spark, df, epoch, index_dir, num_buckets, stream_id=stream_id
+            )
         )
-        .option("checkpointLocation", checkpoint_dir or f"{index_dir}/_stream_checkpoint")
+        .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
         .start()
     )

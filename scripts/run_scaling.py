@@ -246,8 +246,8 @@ equal to 1e-6 rel on all 50 reference queries — enforced on every
 `python -m pytest -x -q` run (tests/test_index_query.py), for both the
 Block-Max-WAND and exhaustive scoring paths.
 """)
-    for lo, hi, e in effs:
-        print(f"eff({lo}->{hi})={e:.3f}")
+    for lo, hi, e, ec in effs:
+        print(f"eff({lo}->{hi})={e:.3f} (cold {ec:.3f})")
     print(f"same_docs={same_docs} same_results={same_results} -> {out_md}")
 
 

@@ -475,7 +475,7 @@ def test_streaming_replay_idempotent(spark, tmp_path_factory):
     # simulate a half-done epoch 0: segments landed (stale content copied
     # from another dir), docs never appended, manifest unmarked
     some_bucket = f"{idx}/segments/chunk=0"
-    shutil.copytree(some_bucket, f"{idx}/segments/chunk=stream0")
+    shutil.copytree(some_bucket, f"{idx}/segments/chunk=stream_default_0")
     n_docs_before = spark.read.parquet(f"{idx}/docs").count()
 
     _append_batch(spark, batch_df, 0, idx, 8)  # the replay
@@ -490,7 +490,10 @@ def test_streaming_replay_idempotent(spark, tmp_path_factory):
     # replay where every url is already indexed (crash was after the docs
     # append): fresh is empty -> epoch is marked complete, not dropped
     _append_batch(spark, batch_df, 1, idx, 8)
-    assert Manifest(idx).is_done("stream_batch", "1")
+    assert Manifest(idx).is_done("stream_batch", "default:1")
+    # a NEW stream (different checkpoint -> different stream_id) restarting
+    # at epoch 0 must NOT be short-circuited by the old stream's epoch 0
+    assert not Manifest(idx).is_done("stream_batch", "other:0")
     assert spark.read.parquet(f"{idx}/docs").count() == n_docs_before + len(batch)
 
     # end state is a correct, queryable index
