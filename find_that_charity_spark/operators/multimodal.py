@@ -55,17 +55,58 @@ FEATURES_SCHEMA = StructType(
 )
 
 
+def _real_image_feature(data: bytes, dim: int) -> np.ndarray:
+    """Minimal real image feature via PIL: width, height, then mean pixel
+    intensity over a dim-2 grid of a grayscale thumbnail."""
+    import io
+
+    import PIL.Image
+
+    img = PIL.Image.open(io.BytesIO(data)).convert("L")
+    w, h = img.size
+    side = max(1, int(np.ceil(np.sqrt(max(dim - 2, 1)))))
+    arr = np.asarray(img.resize((side, side)), dtype=np.float32) / 255.0
+    out = np.empty(dim, dtype=np.float32)
+    out[0], out[1] = float(w), float(h)
+    flat = arr.ravel()
+    out[2:] = np.resize(flat, max(dim - 2, 0))
+    return out
+
+
+def _real_audio_feature(data: bytes, dim: int) -> np.ndarray:
+    """Minimal real audio feature via soundfile: sample rate, n_samples,
+    then dim-2 binned mean absolute amplitudes."""
+    import io
+
+    import soundfile
+
+    samples, rate = soundfile.read(io.BytesIO(data), dtype="float32")
+    if samples.ndim > 1:
+        samples = samples.mean(axis=1)
+    out = np.zeros(dim, dtype=np.float32)
+    out[0], out[1] = float(rate), float(samples.size)
+    nbins = max(dim - 2, 0)
+    if nbins and samples.size:
+        edges = np.linspace(0, samples.size, nbins + 1).astype(np.int64)
+        for i in range(nbins):
+            seg = samples[edges[i] : edges[i + 1]]
+            out[2 + i] = float(np.abs(seg).mean()) if seg.size else 0.0
+    return out
+
+
 def _try_real_decoder(kind: str):
-    """Probe for real codec libs (absent in this container)."""
+    """Probe for real codec libs; return a ``(bytes, dim) -> np.ndarray``
+    feature kernel when one is importable, else None (absent in this
+    container — the deterministic fake is then the default path)."""
     try:
         if kind == "image":
             import PIL.Image  # noqa: F401
 
-            return "PIL"
+            return _real_image_feature
         if kind == "audio":
             import soundfile  # noqa: F401
 
-            return "soundfile"
+            return _real_audio_feature
     except ImportError:
         pass
     return None
@@ -85,13 +126,39 @@ def _fake_feature(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def _feature_for(
+    data: bytes, kind: str, dim: int, deterministic_fake: bool, probe=None
+) -> np.ndarray:
+    """Per-row feature kernel selection (unit-testable without Spark).
+
+    Real decoder importable -> decode; a row that fails to decode falls
+    back to the fake (or re-raises when fakes are disallowed). No decoder
+    -> fake by default, NotImplementedError when fakes are disallowed."""
+    decoder = (probe or _try_real_decoder)(kind)
+    if decoder is not None:
+        try:
+            return np.asarray(decoder(data, dim), dtype=np.float32)
+        except Exception:
+            if not deterministic_fake:
+                raise
+    elif not deterministic_fake:
+        raise NotImplementedError(
+            f"no decoder available for kind={kind}; "
+            "enable deterministic_fake for plumbing tests"
+        )
+    return _fake_feature(data, dim)
+
+
 def extract_features(
     media: DataFrame, dim: int = 32, deterministic_fake: bool = True
 ) -> DataFrame:
     """Decode + feature-extract each media row via mapInPandas.
 
-    Real decoders are used when importable; otherwise the deterministic
-    fake (or NotImplementedError when fakes are disallowed)."""
+    When a real codec lib (PIL / soundfile) is importable its kernel runs;
+    a row whose payload fails to decode falls back to the deterministic
+    fake (default) or raises when ``deterministic_fake=False``. Without a
+    codec lib the fake path is default-on (plumbing stays testable), and
+    ``deterministic_fake=False`` raises as the clearly-marked stub."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -99,19 +166,7 @@ def extract_features(
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 data = bytes(payload) if payload is not None else b""
                 nbytes.append(len(data))
-                decoder = _try_real_decoder(kind)
-                if decoder is not None:
-                    # STUB: real decode path would run here (PIL/soundfile);
-                    # not implemented in-container.
-                    raise NotImplementedError(
-                        f"real {decoder} decode wired but not implemented in sandbox"
-                    )
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        f"no decoder available for kind={kind}; "
-                        "enable deterministic_fake for plumbing tests"
-                    )
-                feats.append(_fake_feature(data, dim))
+                feats.append(_feature_for(data, kind, dim, deterministic_fake))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

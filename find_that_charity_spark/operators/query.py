@@ -265,6 +265,13 @@ def score_phrase(
     weight = sum of idf over query occurrences, tf = phrase frequency,
     score = weight * tfnorm(phrase_freq, dl, avgdl).
     ``term_data``: term -> (docs, tfs, dls, positions_flat).
+
+    Anchor verification is one numpy pass over the WHOLE candidate set:
+    positions are encoded as global keys ``doc_id * stride + pos`` (stride
+    sized so ``pos - base_off + off`` can never cross a doc boundary), so
+    each (term, offset) occurrence costs a single vectorized
+    ``searchsorted`` over every candidate anchor at once — no per-doc
+    Python loop regardless of candidate-set size.
     """
     from find_that_charity_spark.functions.codec import tfnorm as _tfn
 
@@ -278,41 +285,60 @@ def score_phrase(
         if base.size == 0:
             return []
     weight = sum(idfs[t] * len(offs) for t, offs in q_offsets.items())
-    # per-term posting position bounds
-    bounds = {
-        t: np.concatenate([[0], np.cumsum(d[1])]).astype(np.int64)
-        for t, d in term_data.items()
-    }
-    results: list[tuple[int, float]] = []
+    max_off = max(max(offs) for offs in q_offsets.values())
+
+    # gather each term's positions restricted to the candidate docs, flat.
+    # starts/lens index the per-posting segments; the arange-minus-repeat
+    # trick materializes all variable-length segments in one fancy-index.
+    gathered: dict[str, tuple[np.ndarray, np.ndarray]] = {}
+    dls_base: np.ndarray | None = None
+    max_pos = 0
+    for t, (docs, tfs, dls, pos_flat) in term_data.items():
+        bounds = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+        idx = np.searchsorted(docs, base)
+        starts = bounds[idx]
+        lens = tfs[idx].astype(np.int64)
+        total = int(lens.sum())
+        cum = np.concatenate([[0], np.cumsum(lens)])
+        flat_idx = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(cum[:-1], lens)
+            + np.repeat(starts, lens)
+        )
+        pos_g = pos_flat[flat_idx].astype(np.int64)
+        doc_g = np.repeat(base, lens).astype(np.int64)
+        gathered[t] = (doc_g, pos_g)
+        if pos_g.size:
+            max_pos = max(max_pos, int(pos_g.max()))
+        if dls_base is None:
+            dls_base = dls[idx]
+
+    # global encoding: doc * stride + pos is strictly increasing (docs asc,
+    # positions asc within doc) and pos - base_off + off < stride, so no
+    # anchor arithmetic can collide with a neighboring doc's range.
+    stride = np.int64(max_pos + max_off + 2)
+    glob = {t: d * stride + p for t, (d, p) in gathered.items()}
+
     ordered = sorted(q_offsets.items(), key=lambda kv: min(kv[1]))
     t0, offs0 = ordered[0]
     base_off = min(offs0)
-    for doc in base.tolist():
-        pos_of = {}
-        dl = None
-        ok = True
-        for t, (docs, _tfs, dls, pos_flat) in term_data.items():
-            i = int(np.searchsorted(docs, doc))
-            pos_of[t] = pos_flat[bounds[t][i] : bounds[t][i + 1]]
-            dl = float(dls[i])
-        anchors = pos_of[t0] - base_off
-        for t, offs in ordered:
-            for off in offs:
-                if t == t0 and off == base_off:
-                    continue
-                anchors = anchors[_member_mask(pos_of[t], anchors + off)]
-                if anchors.size == 0:
-                    ok = False
-                    break
-            if not ok:
-                break
-        anchors = anchors[anchors >= 0]
-        pf = int(anchors.size)
-        if pf > 0:
-            score = weight * float(_tfn(np.array([float(pf)]), np.array([dl]), avgdl)[0])
-            results.append((doc, score))
-    results.sort(key=lambda r: (-r[1], r[0]))
-    return results[:k]
+    d0, p0 = gathered[t0]
+    keep = p0 >= base_off  # the anchor itself must sit inside the doc
+    anchors = d0[keep] * stride + (p0[keep] - base_off)
+    for t, offs in ordered:
+        for off in offs:
+            if t == t0 and off == base_off:
+                continue
+            anchors = anchors[_member_mask(glob[t], anchors + off)]
+            if anchors.size == 0:
+                return []
+
+    # phrase frequency per doc + BM25 scoring, vectorized end-to-end
+    uniq, counts = np.unique(anchors // stride, return_counts=True)
+    dl_m = dls_base[np.searchsorted(base, uniq)].astype(np.float64)
+    scores = weight * _tfn(counts.astype(np.float64), dl_m, avgdl)
+    order = np.lexsort((uniq, -scores))[:k]
+    return [(int(uniq[j]), float(scores[j])) for j in order]
 
 
 def _member_mask(sorted_haystack: np.ndarray, needles: np.ndarray) -> np.ndarray:
