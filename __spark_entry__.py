@@ -371,20 +371,38 @@ def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_lsh(emb, query_vec_id=0, k=10, n_bits=8, probe_radius=8)
 
 
+_IVF_INDEX_CACHE: dict[str, str] = {}
+
+
+def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
+    """Fit + persist the IVF index once per sf_dir (centroids table +
+    vectors partitioned by centroid); queries only read it."""
+    from find_that_charity_spark.operators.similarity import write_ivf_index
+
+    if sf_dir not in _IVF_INDEX_CACHE:
+        out = tempfile.mkdtemp(prefix="ftc_ivf_")
+        emb = read_table(spark, sf_dir, "embeddings")
+        write_ivf_index(emb, out, n_centroids=8)
+        _IVF_INDEX_CACHE[sf_dir] = out
+    return _IVF_INDEX_CACHE[sf_dir]
+
+
 def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nprobe = n_centroids probes every cell -> exact brute force through
     # the full IVF machinery (k-means assignment, cell pruning); DuckDB
     # brute-force oracle applies. Partial-probe recall is pytest-covered.
+    # The k-means model is fitted once and persisted (centroid-partitioned
+    # layout); repeat calls only read it.
     import numpy as np
 
-    from find_that_charity_spark.operators.similarity import build_ivf, ivf_cosine_topk
+    from find_that_charity_spark.operators.similarity import ivf_cosine_topk_indexed
 
     emb = read_table(spark, sf_dir, "embeddings")
-    model, assigned = build_ivf(emb, n_centroids=8)
+    ivf_dir = _ensure_ivf_index(spark, sf_dir)
     q = np.asarray(
         emb.where("vec_id = 0").collect()[0]["embedding"], dtype=np.float64
     )
-    return ivf_cosine_topk(model, assigned, q, k=10, nprobe=8, exclude_id=0)
+    return ivf_cosine_topk_indexed(spark, ivf_dir, q, k=10, nprobe=8, exclude_id=0)
 
 
 def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:

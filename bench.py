@@ -52,6 +52,12 @@ HEADLINE = [
 ]
 
 _R01_QUERIES = 19  # first 19 entries above == the round-1 headline set
+_R02_QUERIES = 22  # first 22 == the round-2 headline set
+
+# median-of-N per query, interleaved (q1..qn, q1..qn, ...) in one session
+# so page-cache / JIT wobble can't move headline numbers (VERDICT r02
+# item 3: single-shot timings had 10-15% run-to-run variance)
+BENCH_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
 
 ENGINE_BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
 
@@ -87,7 +93,7 @@ def engine_bench(spark) -> dict:
     searcher = IndexSearcher(spark, idx)
     rows = qdf.collect()
     lat = []
-    for r in rows[:20]:
+    for r in rows:  # all 50 reference queries: p99 means something
         t = time.perf_counter()
         searcher.search(r["text"], k=int(r["k"]), mode=r["mode"])
         lat.append((time.perf_counter() - t) * 1000)
@@ -118,16 +124,15 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     entrymod._ensure_segment_index(spark, sf_dir)
 
-    timings: dict[str, float] = {}
-    total = 0.0
-    for name in HEADLINE:
-        if name not in qs:
-            continue
-        t0 = time.perf_counter()
-        qs[name](spark, sf_dir).collect()
-        dt = time.perf_counter() - t0
-        timings[name] = round(dt, 3)
-        total += dt
+    present = [n for n in HEADLINE if n in qs]
+    samples: dict[str, list[float]] = {n: [] for n in present}
+    for _rep in range(BENCH_REPEATS):
+        for name in present:
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            samples[name].append(time.perf_counter() - t0)
+    timings = {n: round(float(np.median(s)), 3) for n, s in samples.items()}
+    total = sum(timings.values())
 
     engine = engine_bench(spark)
 
@@ -139,10 +144,17 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": timings,
-                # apples-to-apples vs BENCH_r01.json (19-query headline set;
-                # round 2 added 3 queries to the total above)
+                "query_samples": {
+                    n: [round(x, 3) for x in s] for n, s in samples.items()
+                },
+                "repeats": BENCH_REPEATS,
+                # apples-to-apples vs earlier rounds (r01: 19 queries,
+                # r02: 22): per-query medians summed over each round's set
                 "queries_r01_subtotal": round(
                     sum(timings.get(q, 0.0) for q in HEADLINE[:_R01_QUERIES]), 3
+                ),
+                "queries_r02_subtotal": round(
+                    sum(timings.get(q, 0.0) for q in HEADLINE[:_R02_QUERIES]), 3
                 ),
                 "sf": sf,
                 "engine": engine,

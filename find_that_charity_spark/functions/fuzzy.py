@@ -18,8 +18,10 @@ candidates still get an exact ``levenshtein <= 1`` check — but on the
 tiny key-matched set, never the full dictionary.
 
 The build materializes the dictionary's expansion once as the
-``fuzzy_keys`` table (key, term, bucket, df); query batches collect
-their own (tiny) key set and push it into that scan as an IN-list.
+``fuzzy_keys`` table (key, term — stats-free so streaming refresh can
+append new-term keys without a rewrite; fresh df/bucket come from the
+live dictionary at query time); query batches collect their own (tiny)
+key set and push it into that scan as an IN-list.
 """
 
 from __future__ import annotations

@@ -81,6 +81,13 @@ SEGMENT_SCHEMA = StructType(
 )
 
 
+# term-hash-shuffle twin of SEGMENT_SCHEMA: the encode group emits the
+# 64-bit term hash; the term string is joined back before the sink
+SEGMENT_SCHEMA_T64 = StructType(
+    [StructField("t64", LongType()), *SEGMENT_SCHEMA.fields[1:]]
+)
+
+
 @dataclass
 class BuildConfig:
     num_buckets: int = 32          # term buckets (segment partition key)
@@ -95,6 +102,15 @@ class BuildConfig:
     # (off by default: corpus-sized shuffles got narrowed to ~1.2 task
     # waves/core, idling stage tails — BENCH/BASELINE.md; turn on for
     # toy corpora where per-task overhead dominates)
+    term_hash_shuffle: bool = False
+    # Shuffle (xxhash64(term), doc_id, dl[, pos]) through the inversion
+    # exchange instead of raw term strings, restoring strings via a
+    # distinct-terms map joined onto the (segment-count-sized) encoded
+    # output. A verified-collision-free fast path: the build computes the
+    # term map anyway-sized distinct and ABORTS on any 64-bit collision
+    # (P ~ |V|^2 / 2^65 — detectable, never silent). Postings bytes are
+    # identical to the string path (doc order within a term is unchanged).
+    # Measured trade-off in docs/SCALE.md; default follows the measurement.
 
 
 def _extract_text() -> "F.Column":
@@ -107,7 +123,7 @@ def _extract_text() -> "F.Column":
     return F.coalesce(F.col("text"), stripped)
 
 
-def _encode_group(positions: bool = False):
+def _encode_group(positions: bool = False, term_key: str = "term"):
     """C9: per-(bucket, salt) group of TOKEN-level rows -> one segment row
     per term.
 
@@ -115,15 +131,21 @@ def _encode_group(positions: bool = False):
     aggregation happens HERE in numpy (run-length over the sorted group)
     instead of in a dedicated groupBy stage, which removes one full
     shuffle+sort of the corpus from the build (map-side combine saved
-    ~35% of bytes but cost a whole extra exchange)."""
+    ~35% of bytes but cost a whole extra exchange).
+
+    ``term_key='t64'`` is the term-hash-shuffle variant: rows carry the
+    64-bit term hash instead of the string; the caller joins strings back
+    onto the (term-count-sized) output. Postings bytes per term are
+    identical either way — only the term ordering inside the group sort
+    differs, which no reader depends on."""
 
     def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-        sort_cols = ["term", "doc_id", "pos"] if positions else ["term", "doc_id"]
+        sort_cols = [term_key, "doc_id", "pos"] if positions else [term_key, "doc_id"]
         pdf = pdf.sort_values(sort_cols, kind="mergesort")
         bucket = int(pdf["bucket"].iloc[0])
         salt = int(pdf["salt"].iloc[0])
         seg_id = f"b{bucket:05d}s{salt:05d}"
-        terms = pdf["term"].to_numpy()
+        terms = pdf[term_key].to_numpy()
         docs_all = pdf["doc_id"].to_numpy(dtype=np.int64)
         dls_all = pdf["dl"].to_numpy(dtype=np.int64)
         pos_all = pdf["pos"].to_numpy(dtype=np.int64) if positions else None
@@ -169,7 +191,10 @@ def _encode_group(positions: bool = False):
                     ],
                 )
             )
-        return pd.DataFrame(out, columns=SEGMENT_SCHEMA.fieldNames())
+        cols = SEGMENT_SCHEMA.fieldNames()
+        if term_key != "term":
+            cols = [term_key] + cols[1:]
+        return pd.DataFrame(out, columns=cols)
 
     return encode
 
@@ -427,13 +452,21 @@ def _build_index_body(
                 target=_detect_heads, args=(int(stats_row["total_len"] or 0),)
             )
             head_thread.start()
-        tokenized.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
-            "overwrite"
-        ).parquet(f"{index_dir}/docs")
+        # docs partitioned by url hash bucket: streaming appends probe
+        # "is this url already indexed?" against ONLY the batch's buckets
+        # (partition pruning), so the per-batch anti-join reads O(batch)
+        # partitions instead of the whole docs table (VERDICT r02 item 6)
+        tokenized.select("doc_id", "url", "warc_ts", "lang", "doc_len").withColumn(
+            "url_bucket",
+            F.pmod(F.xxhash64("url"), F.lit(cfg.id_buckets)).cast("int"),
+        ).write.mode("overwrite").partitionBy("url_bucket").parquet(
+            f"{index_dir}/docs"
+        )
         mf.mark_done(
             "docs",
             n_docs=stats_row["n_docs"],
             total_len=stats_row["total_len"],
+            url_buckets=cfg.id_buckets,
             wall_s=round(time.time() - t0, 3),
         )
 
@@ -463,6 +496,7 @@ def _build_index_body(
     pending_chunks = [c for c in range(cfg.segment_chunks) if not mf.is_done("segments", str(c))]
     if pending_chunks:
         tf = None
+        term_map = None
         for chunk in pending_chunks:
             if tf is None:
                 tf = tf_table().withColumn(
@@ -490,6 +524,29 @@ def _build_index_body(
                     ).drop("span")
                 else:
                     tf = tf.withColumn("salt", F.lit(0).cast("int"))
+                if cfg.term_hash_shuffle:
+                    # swap the shuffled payload from the term string to its
+                    # 64-bit hash (bucket/salt already derived map-side);
+                    # strings are restored post-encode via term_map below
+                    tf = tf.withColumn("t64", F.xxhash64("term")).drop("term")
+                    term_map = (
+                        tokenized.select(F.explode("tokens").alias("term"))
+                        .distinct()
+                        .withColumn("t64", F.xxhash64("term"))
+                        .persist()
+                    )
+                    n_coll = (
+                        term_map.groupBy("t64")
+                        .count()
+                        .where(F.col("count") > 1)
+                        .count()
+                    )
+                    if n_coll:
+                        term_map.unpersist()
+                        raise ValueError(
+                            f"xxhash64 term-hash collision ({n_coll} hashes) — "
+                            "rebuild with term_hash_shuffle=False"
+                        )
                 if len(pending_chunks) > 1:
                     # cache tf only when several chunk jobs will re-read it;
                     # a single-chunk build streams explode->encode directly
@@ -519,7 +576,17 @@ def _build_index_body(
             )
             segs = part.repartition(n_enc, "bucket", "salt").groupBy(
                 "bucket", "salt"
-            ).applyInPandas(_encode_group(positions=cfg.positions), SEGMENT_SCHEMA)
+            ).applyInPandas(
+                _encode_group(
+                    positions=cfg.positions,
+                    term_key="t64" if cfg.term_hash_shuffle else "term",
+                ),
+                SEGMENT_SCHEMA_T64 if cfg.term_hash_shuffle else SEGMENT_SCHEMA,
+            )
+            if cfg.term_hash_shuffle:
+                # restore term strings on the term-count-sized output (a
+                # dictionary-scale join, not a corpus-scale one)
+                segs = segs.join(term_map, "t64").select(*SEGMENT_SCHEMA.fieldNames())
             segs.write.mode("overwrite").partitionBy("bucket").parquet(
                 f"{index_dir}/segments/chunk={chunk}"
             )
@@ -540,6 +607,8 @@ def _build_index_body(
             )
         if tf is not None and len(pending_chunks) > 1:
             tf.unpersist()
+        if cfg.term_hash_shuffle and term_map is not None:
+            term_map.unpersist()
 
     # ---- stage: compact (C10) ------------------------------------------
     if not mf.is_done("compact"):
@@ -561,6 +630,12 @@ def _build_index_body(
             F.count(F.lit(1)).cast("int").alias("n_segments"),
         )
         dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+        # immutable base snapshot: incremental refresh recomputes the live
+        # dictionary as base + per-stream-chunk deltas (never a groupBy
+        # over the whole segment store again — VERDICT r02 item 4)
+        if os.path.exists(f"{index_dir}/dictionary_base"):
+            shutil.rmtree(f"{index_dir}/dictionary_base")
+        shutil.copytree(f"{index_dir}/dictionary", f"{index_dir}/dictionary_base")
         n_terms = spark.read.parquet(f"{index_dir}/dictionary").count()
         mf.mark_done("dictionary", n_terms=n_terms, wall_s=round(time.time() - t0, 3))
         metrics["n_terms"] = n_terms
@@ -583,14 +658,17 @@ def write_fuzzy_keys(spark: SparkSession, index_dir: str) -> None:
     One direct overwrite: the source (dictionary) is a different path, so
     no staging copy is needed, and this is the index's largest derived
     table (|dictionary| x (len+1) rows) — writing it twice would double
-    the cost of every build and refresh."""
+    the cost of every build and refresh.
+
+    Deliberately df-free (key, term only): the query path joins matched
+    candidates back to the live dictionary for fresh (df, bucket), which
+    makes this table append-only under streaming — a refresh appends keys
+    for genuinely-new terms instead of rewriting |dict| x (len+1) rows."""
     from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
 
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     keys = dictionary.select(
         F.explode(deletion_keys_expr("term")).alias("key"),
         "term",
-        "bucket",
-        "df",
     )
     keys.write.mode("overwrite").parquet(f"{index_dir}/fuzzy_keys")

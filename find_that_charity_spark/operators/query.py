@@ -553,25 +553,61 @@ class IndexSearcher:
         if not any(t in by_term for t in pos):
             return []
         buckets = sorted({b for b, _ in by_term.values()})
-        qrows = [
-            ("q", k, mode, t in neg, len(pos), t, int(by_term[t][1]), offsets.get(t))
-            for t in all_terms
-            if t in by_term
-        ]
-        qdf = self.spark.createDataFrame(
-            qrows,
-            "qid string, k int, mode string, neg boolean, n_required int, "
-            "term string, df_global long, q_offsets array<int>",
+        hit_terms = [t for t in all_terms if t in by_term]
+        # ONE Spark job warm: every per-query constant (df, neg flag,
+        # q_offsets) is attached as a literal map expression instead of a
+        # broadcast-joined query DataFrame (that join costs a broadcast
+        # job), and the single-qid grouping is a narrow coalesce(1) +
+        # mapInPandas instead of a groupBy exchange (AQE splits that into
+        # two more jobs). Single-query latency path only — batched
+        # throughput stays on run_queries' distributed groupBy.
+        df_map = F.create_map(
+            *[x for t in hit_terms for x in (F.lit(t), F.lit(int(by_term[t][1])))]
         )
-        rows = self.segments.where(F.col("bucket").isin(buckets)).join(
-            F.broadcast(qdf), "term"
-        ).select(
-            "qid", "k", "mode", "neg", "q_offsets", "n_required", "term",
-            F.col("df_global").alias("df"),
-            "min_doc", "max_doc", "has_positions", "postings", "blockmax",
+        neg_hits = [t for t in hit_terms if t in neg]
+        neg_col = (
+            F.col("term").isin(neg_hits) if neg_hits else F.lit(False)
+        )
+        if any(offsets.get(t) for t in hit_terms):
+            off_map = F.create_map(
+                *[
+                    x
+                    for t in hit_terms
+                    if offsets.get(t)
+                    for x in (
+                        F.lit(t),
+                        F.array(*[F.lit(int(o)) for o in offsets[t]]),
+                    )
+                ]
+            )
+            off_col = off_map[F.col("term")]
+        else:
+            off_col = F.lit(None).cast("array<int>")
+        rows = (
+            self.segments.where(F.col("bucket").isin(buckets))
+            .where(F.col("term").isin(hit_terms))
+            .select(
+                F.lit("q").alias("qid"),
+                F.lit(int(k)).alias("k"),
+                F.lit(mode).alias("mode"),
+                neg_col.alias("neg"),
+                off_col.alias("q_offsets"),
+                F.lit(len(pos)).alias("n_required"),
+                "term",
+                df_map[F.col("term")].alias("df"),
+                "min_doc", "max_doc", "has_positions", "postings", "blockmax",
+            )
         )
         scorer = make_query_scorer(self.n_docs, self.avgdl, use_bmw=True)
-        out = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA).collect()
+
+        def one_group(it):
+            import pandas as pd  # noqa: PLC0415 — worker-side import
+
+            batches = [pdf for pdf in it if len(pdf)]
+            if batches:
+                yield scorer(pd.concat(batches, ignore_index=True))
+
+        out = rows.coalesce(1).mapInPandas(one_group, RESULTS_SCHEMA).collect()
         return [(r["rank"], r["doc_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
 
     def _expand_fuzzy(self, qterms: list[str]) -> set[str]:
@@ -715,11 +751,13 @@ def run_queries(
     # shuffle join on key).
     from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
 
-    try:  # build-time deletion index
-        cand_terms = spark.read.parquet(f"{index_dir}/fuzzy_keys")
+    try:  # build-time deletion index (df-free: key -> term only)
+        cand_terms = spark.read.parquet(f"{index_dir}/fuzzy_keys").select(
+            "key", "term"
+        )
     except Exception:  # older index without fuzzy_keys: expand inline
         cand_terms = dictionary.select(
-            "term", "bucket", "df",
+            "term",
             F.explode(deletion_keys_expr("term")).alias("key"),
         )
     fuzzy_keys_df = None
@@ -761,23 +799,30 @@ def run_queries(
             "qid", "k", "qterm", F.explode(deletion_keys_expr("qterm")).alias("key")
         )
     if fuzzy_keys_df is not None:
-        fuzzy_matched = (
+        # accepted expansions carry only (qid, k, term); fresh (df, bucket)
+        # come from the LIVE dictionary below — fuzzy_keys stores no stats,
+        # so streaming refresh can append new-term keys without rewriting
+        # the table (stale-df correctness hazard removed by construction)
+        fuzzy_hits = (
             cand_terms.join(fuzzy_keys_df, "key")
             .where(
                 (F.abs(F.length("term") - F.length("qterm")) <= 1)
                 & (F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
             )
-            .select(
-                "qid",
-                "k",
-                F.lit("fuzzy").alias("mode"),
-                F.lit(False).alias("neg"),
-                F.lit(None).cast("array<int>").alias("q_offsets"),
-                "term",
-                F.col("df").alias("df_global"),
-                "bucket",
-            )
+            .select("qid", "k", "term")
             .dropDuplicates(["qid", "term"])
+        )
+        if n_queries <= localize_threshold:
+            fuzzy_hits = F.broadcast(fuzzy_hits)
+        fuzzy_matched = dictionary.join(fuzzy_hits, "term").select(
+            "qid",
+            "k",
+            F.lit("fuzzy").alias("mode"),
+            F.lit(False).alias("neg"),
+            F.lit(None).cast("array<int>").alias("q_offsets"),
+            "term",
+            F.col("df").alias("df_global"),
+            "bucket",
         )
         matched = matched.unionByName(fuzzy_matched)
     # conjunctive semantics: a required term absent from the dictionary

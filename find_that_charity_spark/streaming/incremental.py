@@ -65,16 +65,30 @@ def _append_batch(
     # skip (or overwrite) a previous stream's batches when a fresh stream
     # reuses an existing index.
     unit = f"{stream_id}:{epoch_id}"
-    if Manifest(index_dir).is_done("stream_batch", unit):
+    mf = Manifest(index_dir)
+    if mf.is_done("stream_batch", unit):
         return
     docs = spark.read.parquet(f"{index_dir}/docs")
-    base_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    # doc-id high-water mark from the manifest (build n_docs + appended
+    # n_new), not a per-batch max(doc_id) agg over the whole docs table
+    base_id, url_buckets = _doc_id_base(mf)
+    if base_id is None:  # pre-r03 manifest without counts: one-time agg
+        base_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
 
-    fresh = dedup_latest_by_url(batch_df).join(
-        docs.select("url"), "url", "left_anti"
-    )
+    deduped = dedup_latest_by_url(batch_df)
+    probe = docs.select("url")
+    if url_buckets:
+        # partition-pruned probe: the docs table is laid out by url hash
+        # bucket, and a micro-batch touches at most min(|batch|, B)
+        # buckets — the "already indexed?" anti-join reads only those
+        bucket_col = F.pmod(F.xxhash64("url"), F.lit(url_buckets)).cast("int")
+        batch_buckets = sorted(
+            r[0] for r in deduped.select(bucket_col.alias("b")).distinct().collect()
+        )
+        probe = docs.where(F.col("url_bucket").isin(batch_buckets)).select("url")
+    fresh = deduped.join(probe, "url", "left_anti")
     if fresh.isEmpty():
-        Manifest(index_dir).mark_done("stream_batch", unit, n_new=0)
+        mf.mark_done("stream_batch", unit, n_new=0, new_len=0)
         return
     tokenized = fresh.select(
         "url", "warc_ts", "lang", tokenize_udf(F.col("text")).alias("tokens")
@@ -116,40 +130,214 @@ def _append_batch(
         f"{index_dir}/segments/chunk=stream_{stream_id}_{epoch_id}"
     )
 
-    with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len").write.mode(
-        "append"
-    ).parquet(f"{index_dir}/docs")
+    agg = with_len.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("len")
+    ).collect()[0]
+    out_docs = with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len")
+    if url_buckets:
+        out_docs.withColumn(
+            "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets)).cast("int")
+        ).write.mode("append").partitionBy("url_bucket").parquet(f"{index_dir}/docs")
+    else:
+        out_docs.write.mode("append").parquet(f"{index_dir}/docs")
 
-    Manifest(index_dir).mark_done("stream_batch", unit)
+    # n_new/new_len feed the manifest-only corpus_stats recompute and the
+    # next batch's doc-id high-water mark (no O(index) aggs per batch)
+    mf.mark_done(
+        "stream_batch", unit, n_new=int(agg["n"]), new_len=int(agg["len"] or 0)
+    )
+
+
+def _doc_id_base(mf: Manifest) -> tuple[int | None, int | None]:
+    """Next doc_id + docs url-bucket count from the manifest alone.
+
+    Returns (None, url_buckets) when any entry predates the counters —
+    the caller then falls back to one max(doc_id) aggregation."""
+    base = None
+    url_buckets = None
+    n_streamed = 0
+    counts_ok = True
+    for e in mf.entries():
+        if e.get("stage") == "docs" and e.get("status") == "done":
+            base = e.get("n_docs")
+            url_buckets = e.get("url_buckets")
+        elif e.get("stage") == "stream_batch" and e.get("status") == "done":
+            if e.get("n_new") is None:
+                counts_ok = False
+            else:
+                n_streamed += int(e["n_new"])
+    if base is None or not counts_ok:
+        return None, url_buckets
+    return int(base) + n_streamed, url_buckets
+
+
+def _stream_chunk_dir(index_dir: str, unit: str) -> str:
+    return f"{index_dir}/segments/chunk=stream_{unit.replace(':', '_')}"
+
+
+def _recover_dictionary_swap(index_dir: str) -> None:
+    """Finish an interrupted dictionary swap (same protocol as the
+    segment-store compaction swap in operators/build.py)."""
+    import shutil
+
+    cur = f"{index_dir}/dictionary"
+    staged = f"{index_dir}/dictionary_staged"
+    backup = f"{index_dir}/dictionary_old"
+    if not os.path.exists(cur):
+        if os.path.exists(staged):
+            os.rename(staged, cur)
+        elif os.path.exists(backup):
+            os.rename(backup, cur)
+    for leftover in (staged, backup):
+        if os.path.exists(cur) and os.path.exists(leftover):
+            shutil.rmtree(leftover)
 
 
 def refresh_stats(spark: SparkSession, index_dir: str) -> None:
-    """Recompute corpus_stats and dictionary after appends."""
-    docs = spark.read.parquet(f"{index_dir}/docs")
-    stats = docs.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("doc_len").cast("long").alias("total_len"),
-        F.avg("doc_len").alias("avgdl"),
+    """Refresh corpus_stats, dictionary and fuzzy_keys after appends —
+    incrementally (VERDICT r02 item 4).
+
+    - corpus_stats: pure manifest arithmetic (build counts + per-batch
+      deltas), zero Spark jobs over the docs table.
+    - dictionary: immutable ``dictionary_base`` (batch build) + column-
+      pruned deltas from the stream segment chunks only — never a groupBy
+      over the whole segment store. Replay-safe without bookkeeping: the
+      merge recomputes base + ALL stream chunks, so re-running after a
+      crash lands the identical result. Crash-safe rename swap.
+    - fuzzy_keys: append-only — deletion keys only for terms not covered
+      by the base dictionary or previously covered chunks (duplicates
+      from a replayed append are deduped at query time).
+
+    Falls back to the full recompute for pre-r03 manifests, or when
+    compaction has folded the stream chunks away (the fallback also
+    re-snapshots dictionary_base, making future refreshes incremental
+    again).
+    """
+    import shutil
+
+    mf = Manifest(index_dir)
+    entries = mf.entries()
+    docs_e = next(
+        (e for e in entries if e.get("stage") == "docs" and e.get("status") == "done"),
+        None,
     )
+    batches = [
+        e
+        for e in entries
+        if e.get("stage") == "stream_batch" and e.get("status") == "done"
+    ]
+
+    # ---- corpus_stats --------------------------------------------------
+    counts_ok = (
+        docs_e is not None
+        and docs_e.get("n_docs") is not None
+        and docs_e.get("total_len") is not None
+        and all(e.get("n_new") is not None and e.get("new_len") is not None for e in batches)
+    )
+    if counts_ok:
+        n_docs = int(docs_e["n_docs"]) + sum(int(e["n_new"]) for e in batches)
+        total_len = int(docs_e["total_len"]) + sum(int(e["new_len"]) for e in batches)
+        stats = spark.createDataFrame(
+            [(n_docs, total_len, total_len / max(n_docs, 1))],
+            "n_docs long, total_len long, avgdl double",
+        )
+    else:
+        docs = spark.read.parquet(f"{index_dir}/docs")
+        stats = docs.agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("doc_len").cast("long").alias("total_len"),
+            F.avg("doc_len").alias("avgdl"),
+        )
     stats.write.mode("overwrite").parquet(f"{index_dir}/corpus_stats_new")
     spark.read.parquet(f"{index_dir}/corpus_stats_new").write.mode("overwrite").parquet(
         f"{index_dir}/corpus_stats"
     )
-    segs = spark.read.parquet(f"{index_dir}/segments")
-    dictionary = segs.groupBy("term", "bucket").agg(
+
+    # ---- dictionary ----------------------------------------------------
+    _recover_dictionary_swap(index_dir)
+    live_units = [e["unit"] for e in batches if int(e.get("n_new") or 0) > 0]
+    base_dir = f"{index_dir}/dictionary_base"
+    incremental = os.path.exists(base_dir) and all(
+        os.path.exists(_stream_chunk_dir(index_dir, u)) for u in live_units
+    )
+    dict_agg = [
         F.sum("df").cast("long").alias("df"),
         F.sum("cf").cast("long").alias("cf"),
-        F.count(F.lit(1)).cast("int").alias("n_segments"),
-    )
-    dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary_new")
-    spark.read.parquet(f"{index_dir}/dictionary_new").write.mode("overwrite").parquet(
-        f"{index_dir}/dictionary"
-    )
-    # the deletion-key index derives from the dictionary — rebuild it too
-    if os.path.exists(f"{index_dir}/fuzzy_keys"):
-        from find_that_charity_spark.operators.build import write_fuzzy_keys
+    ]
+    if incremental and not live_units:
+        return  # nothing streamed since the base snapshot: all current
+    if incremental:
+        delta = (
+            spark.read.option("basePath", f"{index_dir}/segments")
+            .parquet(*[_stream_chunk_dir(index_dir, u) for u in live_units])
+            .select("term", "bucket", "df", "cf")  # postings blobs pruned
+            .groupBy("term", "bucket")
+            .agg(*dict_agg, F.count(F.lit(1)).cast("int").alias("n_segments"))
+        )
+        merged = (
+            spark.read.parquet(base_dir)
+            .unionByName(delta)
+            .groupBy("term", "bucket")
+            .agg(*dict_agg, F.sum("n_segments").cast("int").alias("n_segments"))
+        )
+        merged.write.mode("overwrite").parquet(f"{index_dir}/dictionary_staged")
+        os.rename(f"{index_dir}/dictionary", f"{index_dir}/dictionary_old")
+        os.rename(f"{index_dir}/dictionary_staged", f"{index_dir}/dictionary")
+        shutil.rmtree(f"{index_dir}/dictionary_old")
+    else:
+        segs = spark.read.parquet(f"{index_dir}/segments")
+        dictionary = segs.groupBy("term", "bucket").agg(
+            *dict_agg, F.count(F.lit(1)).cast("int").alias("n_segments")
+        )
+        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary_new")
+        spark.read.parquet(f"{index_dir}/dictionary_new").write.mode(
+            "overwrite"
+        ).parquet(f"{index_dir}/dictionary")
+        # re-snapshot the base so the NEXT refresh is incremental again
+        if os.path.exists(base_dir):
+            shutil.rmtree(base_dir)
+        shutil.copytree(f"{index_dir}/dictionary", base_dir)
 
+    # ---- fuzzy_keys ----------------------------------------------------
+    if not os.path.exists(f"{index_dir}/fuzzy_keys"):
+        return
+    from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
+    from find_that_charity_spark.operators.build import write_fuzzy_keys
+
+    if not incremental:
         write_fuzzy_keys(spark, index_dir)
+        for u in live_units:
+            if not mf.is_done("fuzzy_covered", u):
+                mf.mark_done("fuzzy_covered", u)
+        return
+    covered_units = [
+        u
+        for u in live_units
+        if mf.is_done("fuzzy_covered", u)
+        and os.path.exists(_stream_chunk_dir(index_dir, u))
+    ]
+    uncovered = [u for u in live_units if not mf.is_done("fuzzy_covered", u)]
+    if not uncovered:
+        return
+    fresh_terms = (
+        spark.read.option("basePath", f"{index_dir}/segments")
+        .parquet(*[_stream_chunk_dir(index_dir, u) for u in uncovered])
+        .select("term")
+        .distinct()
+    )
+    known = spark.read.parquet(base_dir).select("term")
+    if covered_units:
+        known = known.unionByName(
+            spark.read.option("basePath", f"{index_dir}/segments")
+            .parquet(*[_stream_chunk_dir(index_dir, u) for u in covered_units])
+            .select("term")
+        )
+    new_terms = fresh_terms.join(known.distinct(), "term", "left_anti")
+    new_terms.select(
+        F.explode(deletion_keys_expr("term")).alias("key"), "term"
+    ).write.mode("append").parquet(f"{index_dir}/fuzzy_keys")
+    for u in uncovered:
+        mf.mark_done("fuzzy_covered", u)
 
 
 def incremental_refresh(

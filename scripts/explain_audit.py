@@ -113,6 +113,50 @@ def main() -> None:
         explain_str(cand),
     ))
 
+    # 5. persisted IVF: probed cells are PARTITION filters on centroid
+    import numpy as np
+
+    from find_that_charity_spark.operators.similarity import (
+        ivf_cosine_topk_indexed,
+        write_ivf_index,
+    )
+
+    rng = np.random.default_rng(7)
+    emb_rows = [(int(i), [float(x) for x in rng.normal(size=16)]) for i in range(512)]
+    emb = spark.createDataFrame(emb_rows, "vec_id long, embedding array<float>")
+    write_ivf_index(emb, f"{work}/ivf", n_centroids=8)
+    ivf_q = ivf_cosine_topk_indexed(
+        spark, f"{work}/ivf", np.asarray(emb_rows[0][1]), k=10, nprobe=3, exclude_id=0
+    )
+    sections.append((
+        "Persisted IVF search (nprobe=3 of 8 cells)",
+        "The assigned-vectors scan must show PartitionFilters on `centroid` "
+        "(`centroid IN (…)` with exactly nprobe values) — unprobed cells are "
+        "never read; the k-means model is persisted (centroids table), never "
+        "re-fit per query; final order is TakeOrderedAndProject.",
+        explain_str(ivf_q),
+    ))
+
+    # 6. streaming append probe: docs anti-join pruned to the batch's
+    # url hash buckets (the docs table is partitioned by url_bucket)
+    batch = spark.createDataFrame(
+        [("https://ex.org/a",), ("https://ex.org/b",)], "url string"
+    )
+    probe = (
+        spark.read.parquet(f"{work}/idx/docs")
+        .where(F.col("url_bucket").isin([0, 5]))
+        .select("url")
+    )
+    anti = batch.join(probe, "url", "left_anti")
+    sections.append((
+        "Streaming append probe (already-indexed anti-join)",
+        "The docs scan must show PartitionFilters on `url_bucket` — a "
+        "micro-batch probes only its own hash buckets of the docs table "
+        "(O(batch) partitions read, not O(index)); the doc-id high-water "
+        "mark comes from the manifest, so no max(doc_id) agg appears.",
+        explain_str(anti),
+    ))
+
     out = os.path.join(ROOT, "docs", "PLANS.md")
     os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, "w") as f:

@@ -62,3 +62,41 @@ def test_lsh_recall(spark, emb, brute_top):
     got = cosine_topk_lsh(emb, query_vec_id=0, k=10, probe_radius=3).collect()
     recall = len(set(r["vec_id"] for r in got) & set(brute_top)) / len(brute_top)
     assert recall >= 0.4, f"recall@10 {recall}"
+
+
+def test_ivf_persisted_index(spark, emb, brute_top, tmp_path_factory):
+    """Persisted IVF (VERDICT r02 item 8): fit once, write centroids +
+    centroid-partitioned vectors; queries read centers driver-side and
+    partition-prune the assigned table — no re-fit, identical results."""
+    from pyspark.sql import functions as F
+
+    from find_that_charity_spark.operators.similarity import (
+        ivf_cosine_topk_indexed,
+        read_ivf_centers,
+        write_ivf_index,
+    )
+
+    ivf_dir = str(tmp_path_factory.mktemp("ivf"))
+    write_ivf_index(emb, ivf_dir, n_centroids=8)
+    centers = read_ivf_centers(spark, ivf_dir)
+    assert centers.shape[0] == 8
+
+    pdf = emb.where("vec_id = 0").toPandas()
+    q = np.asarray(pdf["embedding"].iloc[0], dtype=np.float64)
+
+    # full probe through the persisted layout == brute force
+    got = ivf_cosine_topk_indexed(spark, ivf_dir, q, k=10, nprobe=8, exclude_id=0).collect()
+    assert [r["vec_id"] for r in got] == brute_top
+
+    # partial probe == in-memory partial probe (same centers, same cells)
+    model, assigned = build_ivf(emb, n_centroids=8)
+    want = ivf_cosine_topk(model, assigned, q, k=10, nprobe=3, exclude_id=0).collect()
+    got3 = ivf_cosine_topk_indexed(spark, ivf_dir, q, k=10, nprobe=3, exclude_id=0).collect()
+    assert [r["vec_id"] for r in got3] == [r["vec_id"] for r in want]
+
+    # the probed-cells filter is a PARTITION filter, not a data filter
+    pruned = spark.read.parquet(f"{ivf_dir}/assigned").where(
+        F.col("centroid").isin([0, 3])
+    )
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "centroid" in plan
