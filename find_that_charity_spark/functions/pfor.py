@@ -1,0 +1,112 @@
+"""PForDelta (NewPFD-style) block codec — the BASELINE.json-sanctioned
+alternative to delta+varint for posting blocks (SURVEY.md §2B B6 names
+"delta+varint/PForDelta"; see Zukowski et al., "Super-Scalar RAM-CPU
+Cache Compression", ICDE 2006, and Yan/Ding/Suel WWW 2009 NewPFD).
+
+Layout per encoded array (one posting-block stream, <=128 values):
+
+    byte 0      bit width b (0..64)
+    byte 1-2    n values (uint16 LE)
+    byte 3-4    n exceptions (uint16 LE)
+    packed      ceil(n*b/8) bytes: low b bits of every value, LSB-first
+    exc pos     varint deltas of exception indices (ascending)
+    exc high    varint of (value >> b) for each exception
+
+The width is chosen to make ~90% of values fit (NewPFD's patch scheme):
+outliers store their overflow bits out-of-line, so one huge delta cannot
+inflate the whole block the way fixed-width FOR would.
+
+Everything is numpy-vectorized (np.packbits/np.unpackbits on a bit
+matrix); no per-value Python. The codec is self-contained and
+roundtrip-property-tested (tests/test_pfor.py) with a measured size/speed
+comparison against the varint codec; the segment store keeps varint as
+its on-disk default (swapping would need blob versioning — documented
+trade-off, not a gap).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from find_that_charity_spark.functions.codec import varint_decode, varint_encode
+
+_PATCH_FRACTION = 0.90  # NewPFD: width covers ~90th percentile
+
+
+def _bit_width(values: np.ndarray) -> int:
+    """Smallest b such that value < 2**b (0 for an all-zero array)."""
+    m = int(values.max()) if values.size else 0
+    return m.bit_length()
+
+
+def pfor_encode(values: np.ndarray) -> bytes:
+    """Encode a uint64 array (<=65535 values) as one PForDelta stream."""
+    v = np.asarray(values, dtype=np.uint64)
+    n = v.size
+    if n > 0xFFFF:
+        raise ValueError("pfor_encode is a block codec (<=65535 values)")
+    if n == 0:
+        return bytes([0, 0, 0, 0, 0])
+    # candidate width: 90th-percentile bit length; widen if exceptions
+    # would cost more than the saved packed bits (cheap scan over widths)
+    widths = np.zeros(n, dtype=np.int64)
+    tmp = v.copy()
+    while np.any(tmp):
+        widths += (tmp > 0).astype(np.int64)
+        tmp >>= np.uint64(1)
+    b = int(np.quantile(widths, _PATCH_FRACTION, method="lower"))
+    b = max(b, 1) if int(v.max()) > 0 else 0
+    full = _bit_width(v)
+    best_b, best_cost = None, None
+    for cand in range(b, full + 1):
+        n_exc = int((widths > cand).sum())
+        cost = (n * cand + 7) // 8 + n_exc * 3  # ~3 B/exception estimate
+        if best_cost is None or cost < best_cost:
+            best_b, best_cost = cand, cost
+    b = best_b
+    exc_idx = np.flatnonzero(widths > b)
+    header = bytes([b]) + int(n).to_bytes(2, "little") + int(exc_idx.size).to_bytes(2, "little")
+    if b == 0:
+        packed = b""
+    else:
+        low = v & ((np.uint64(1) << np.uint64(b)) - np.uint64(1)) if b < 64 else v
+        # bit matrix (n, b), LSB-first, then packbits along the flat axis
+        shifts = np.arange(b, dtype=np.uint64)
+        bits = ((low[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.uint8)
+        packed = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    if exc_idx.size:
+        pos_deltas = np.empty(exc_idx.size, dtype=np.uint64)
+        pos_deltas[0] = exc_idx[0]
+        pos_deltas[1:] = np.diff(exc_idx).astype(np.uint64)
+        high = v[exc_idx] >> np.uint64(b)
+        exc = varint_encode(pos_deltas) + varint_encode(high)
+    else:
+        exc = b""
+    return header + packed + exc
+
+
+def pfor_decode(buf: bytes | memoryview) -> np.ndarray:
+    """Decode one PForDelta stream back to uint64."""
+    data = np.frombuffer(buf, dtype=np.uint8)
+    b = int(data[0])
+    n = int(data[1]) | (int(data[2]) << 8)
+    n_exc = int(data[3]) | (int(data[4]) << 8)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off = 5
+    if b == 0:
+        vals = np.zeros(n, dtype=np.uint64)
+    else:
+        packed_len = (n * b + 7) // 8
+        bits = np.unpackbits(
+            data[off : off + packed_len], bitorder="little", count=n * b
+        ).astype(np.uint64)
+        shifts = np.arange(b, dtype=np.uint64)
+        vals = (bits.reshape(n, b) << shifts[None, :]).sum(axis=1, dtype=np.uint64)
+        off += packed_len
+    if n_exc:
+        tail = varint_decode(data[off:], count=2 * n_exc)
+        idx = np.cumsum(tail[:n_exc].astype(np.int64))
+        high = tail[n_exc:]
+        vals[idx] |= high << np.uint64(b)
+    return vals

@@ -33,7 +33,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from find_that_charity_spark.functions.analyzer import tokenize_udf
-from find_that_charity_spark.operators.build import SEGMENT_SCHEMA, _encode_group
+from find_that_charity_spark.operators.build import (
+    SEGMENT_SCHEMA,
+    _encode_group,
+    check_pack_bounds,
+    _DL_BITS,
+)
 from find_that_charity_spark.operators.dedup import dedup_latest_by_url
 from find_that_charity_spark.operators.doc_ids import assign_doc_ids
 from find_that_charity_spark.plans.checkpoint import Manifest
@@ -110,29 +115,36 @@ def _append_batch(
         .select("has_positions")
         .first()["has_positions"]
     )
-    # token-level rows; tf is computed inside the encode group (run-length)
+    agg = with_len.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_len").alias("len"),
+        F.max("doc_len").alias("max_dl"),
+    ).collect()[0]
+    check_pack_bounds(agg["max_dl"], 0)
+
+    # token-level rows in the PACKED layout _encode_group expects
+    # (docdl = doc_id << 22 | dl, gkey = bucket << 32 | salt); the salt
+    # word carries the segment generation tag
     exploded = with_len.select(
-        "doc_id",
-        F.col("doc_len").alias("dl"),
+        F.shiftleft("doc_id", _DL_BITS)
+        .bitwiseOR(F.col("doc_len").cast("long"))
+        .alias("docdl"),
         F.posexplode("tokens").alias("pos", "term"),
     )
     if not positions:
         exploded = exploded.drop("pos")
-    tf = (
-        exploded
-        .withColumn("bucket", F.pmod(F.xxhash64("term"), F.lit(num_buckets)).cast("int"))
-        .withColumn("salt", F.lit(1000 + epoch_id).cast("int"))  # segment generation tag
+    tf = exploded.withColumn(
+        "gkey",
+        F.shiftleft(F.pmod(F.xxhash64("term"), F.lit(num_buckets)), 32).bitwiseOR(
+            F.lit(1000 + epoch_id).cast("long")
+        ),
     )
-    segs = tf.groupBy("bucket", "salt").applyInPandas(
+    segs = tf.groupBy("gkey").applyInPandas(
         _encode_group(positions=positions), SEGMENT_SCHEMA
     )
     segs.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/segments/chunk=stream_{stream_id}_{epoch_id}"
     )
-
-    agg = with_len.agg(
-        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("len")
-    ).collect()[0]
     out_docs = with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len")
     if url_buckets:
         out_docs.withColumn(
@@ -255,7 +267,16 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> None:
 
     # ---- dictionary ----------------------------------------------------
     _recover_dictionary_swap(index_dir)
-    live_units = [e["unit"] for e in batches if int(e.get("n_new") or 0) > 0]
+    live_units = []
+    for e in batches:
+        n_new = e.get("n_new")
+        if n_new is None:
+            # pre-r03 manifest entry without counters: live iff its
+            # segment chunk still exists on disk
+            if os.path.exists(_stream_chunk_dir(index_dir, e["unit"])):
+                live_units.append(e["unit"])
+        elif int(n_new) > 0:
+            live_units.append(e["unit"])
     base_dir = f"{index_dir}/dictionary_base"
     incremental = os.path.exists(base_dir) and all(
         os.path.exists(_stream_chunk_dir(index_dir, u)) for u in live_units

@@ -1,0 +1,64 @@
+"""PForDelta codec: roundtrip properties + size comparison vs varint."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from find_that_charity_spark.functions.codec import varint_encode
+from find_that_charity_spark.functions.pfor import pfor_decode, pfor_encode
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=2**63 - 1), min_size=0, max_size=300)
+)
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_arbitrary(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    out = pfor_decode(pfor_encode(arr))
+    assert out.tolist() == arr.tolist()
+
+
+@given(st.integers(min_value=0, max_value=2**20), st.integers(min_value=1, max_value=128))
+@settings(max_examples=50, deadline=None)
+def test_roundtrip_constant_blocks(value, n):
+    arr = np.full(n, value, dtype=np.uint64)
+    assert pfor_decode(pfor_encode(arr)).tolist() == arr.tolist()
+
+
+def test_roundtrip_outlier_patches():
+    """One huge delta must not widen the whole block (the PFor point)."""
+    rng = np.random.default_rng(3)
+    arr = rng.integers(1, 30, 128).astype(np.uint64)
+    arr[17] = 2**40  # a single 41-bit outlier among 5-bit values
+    blob = pfor_encode(arr)
+    assert pfor_decode(blob).tolist() == arr.tolist()
+    # packed width stays near the 5-bit body, not 41 bits
+    assert blob[0] <= 8
+    assert len(blob) < 128 * 2  # far below fixed-width-41 (~656 B)
+
+
+def test_smaller_than_varint_on_dense_deltas():
+    """Posting-gap-like data (small Zipf deltas): PFor beats varint's
+    1-byte-per-value floor."""
+    rng = np.random.default_rng(7)
+    deltas = (rng.zipf(1.6, 128) % 60 + 1).astype(np.uint64)
+    p = len(pfor_encode(deltas))
+    v = len(varint_encode(deltas))
+    assert p < v, (p, v)
+
+
+def test_decode_speed_sane():
+    """Vectorized decode: a million values in well under a second."""
+    import time
+
+    rng = np.random.default_rng(11)
+    blocks = [
+        pfor_encode((rng.zipf(1.5, 128) % 1000).astype(np.uint64)) for _ in range(8000)
+    ]
+    t0 = time.perf_counter()
+    n = sum(pfor_decode(b).size for b in blocks)
+    wall = time.perf_counter() - t0
+    assert n == 8000 * 128
+    assert wall < 2.0, wall
