@@ -39,6 +39,15 @@ from find_that_charity_spark.functions.bm25 import K1 as BM25_K1
 
 BLOCK_SIZE = 128  # pinned (BASELINE.json north_star)
 
+# blob byte 0 is the block-stream codec id — the blob is self-describing,
+# so readers never need config plumbing and a segment store may mix
+# codecs (e.g. a varint base index + pfor streamed appends) safely:
+#   0x00  delta+varint streams (default)
+#   0x01  PForDelta (NewPFD) streams — functions/pfor.py
+CODEC_VARINT = 0
+CODEC_PFOR = 1
+_CODEC_IDS = {"varint": CODEC_VARINT, "pfor": CODEC_PFOR}
+
 
 def varint_encode(values: np.ndarray) -> bytes:
     """LEB128-style varint encode of a uint64 array, numpy-vectorized.
@@ -133,17 +142,24 @@ def encode_postings(
     tfs: np.ndarray,
     dls: np.ndarray,
     positions_flat: np.ndarray | None = None,
+    codec: str = "varint",
 ) -> tuple[bytes, list[tuple[int, int, int, int, int]]]:
     """Encode one docID-sorted posting list.
 
     Returns (blob, blockmax) where blockmax is a list of
     (last_doc, max_tf, min_dl, offset, n) per block of <=128 postings.
+    Blob byte 0 is the codec id (see CODEC_*); block offsets start at 1.
 
     ``positions_flat`` (optional, Lucene positions analog): ascending
     token positions per posting, concatenated; posting i owns tfs[i]
     entries. When present, each block carries a 4th varint stream of
     within-posting position gaps — phrase queries decode it, everything
     else skips it for free (streams are length-delimited by tf sums).
+
+    ``codec='pfor'`` swaps every per-block stream for the PForDelta
+    block codec (functions/pfor.py) — BASELINE.json's sanctioned
+    alternative. Doc order, blockmax bounds, and all decoded values are
+    identical either way; only the byte encoding differs.
     """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     n = doc_ids.size
@@ -161,19 +177,24 @@ def encode_postings(
     deltas[0] = doc_ids[0]
     deltas[1:] = np.diff(doc_ids).astype(np.uint64)
 
-    parts: list[bytes] = []
+    codec_id = _CODEC_IDS[codec]
+    if codec_id == CODEC_PFOR:
+        from find_that_charity_spark.functions.pfor import pfor_encode as _enc
+    else:
+        _enc = varint_encode
+    parts: list[bytes] = [bytes([codec_id])]
     blockmax: list[tuple[int, int, int, int, int]] = []
-    offset = 0
+    offset = 1  # byte 0 is the codec id
     for s in range(0, n, BLOCK_SIZE):
         e = min(s + BLOCK_SIZE, n)
         blk = (
-            varint_encode(deltas[s:e])
-            + varint_encode(tfs[s:e].astype(np.uint64))
-            + varint_encode(dls[s:e].astype(np.uint64))
+            _enc(deltas[s:e])
+            + _enc(tfs[s:e].astype(np.uint64))
+            + _enc(dls[s:e].astype(np.uint64))
         )
         if positions_flat is not None:
             pf = positions_flat[pos_bounds[s] : pos_bounds[e]]
-            blk += varint_encode(_position_deltas(pf, tfs[s:e]))
+            blk += _enc(_position_deltas(pf, tfs[s:e]))
         parts.append(blk)
         blockmax.append(
             (int(doc_ids[e - 1]), int(tfs[s:e].max()), int(dls[s:e].min()), offset, e - s)
@@ -196,10 +217,31 @@ def decode_block(
 
     The byte scan is bounded to the block's maximum possible size
     (<=10 bytes/varint) — never the blob's remaining tail, which would
-    make whole-list decode quadratic."""
+    make whole-list decode quadratic.
+
+    The codec is read from blob byte 0 (see CODEC_*): the blob is
+    self-describing, so mixed-codec segment stores decode correctly with
+    no config plumbing."""
+    full = np.frombuffer(blob, dtype=np.uint8)
+    if int(full[0]) == CODEC_PFOR:
+        from find_that_charity_spark.functions.pfor import pfor_decode_stream
+
+        data = full[offset:]
+        deltas, used = pfor_decode_stream(data)
+        tfs_u, ln = pfor_decode_stream(data[used:])
+        used += ln
+        dls_u, ln = pfor_decode_stream(data[used:])
+        used += ln
+        tfs = tfs_u.astype(np.int64)
+        dls = dls_u.astype(np.int64)
+        docs = np.cumsum(deltas.astype(np.int64)) + prev_last_doc
+        if not with_positions:
+            return docs, tfs, dls
+        pos_deltas, _ = pfor_decode_stream(data[used:])
+        return docs, tfs, dls, _positions_from_deltas(pos_deltas, tfs)
     head_vals = 3 * n
     # varints are <=10 bytes each: a safe upper bound on the head streams
-    data = np.frombuffer(blob, dtype=np.uint8)[offset : offset + 10 * head_vals]
+    data = full[offset : offset + 10 * head_vals]
     is_last = (data & 0x80) == 0
     ends = np.flatnonzero(is_last)
     head_end = int(ends[head_vals - 1]) + 1
@@ -211,9 +253,7 @@ def decode_block(
     if not with_positions:
         return docs, tfs, dls
     n_pos = int(tfs.sum())
-    pos_data = np.frombuffer(blob, dtype=np.uint8)[
-        offset + head_end : offset + head_end + 10 * n_pos
-    ]
+    pos_data = full[offset + head_end : offset + head_end + 10 * n_pos]
     pos_last = np.flatnonzero((pos_data & 0x80) == 0)
     pos_bytes = pos_data[: int(pos_last[n_pos - 1]) + 1]
     pos_deltas = varint_decode(pos_bytes, count=n_pos)

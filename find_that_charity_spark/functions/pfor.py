@@ -17,11 +17,13 @@ outliers store their overflow bits out-of-line, so one huge delta cannot
 inflate the whole block the way fixed-width FOR would.
 
 Everything is numpy-vectorized (np.packbits/np.unpackbits on a bit
-matrix); no per-value Python. The codec is self-contained and
-roundtrip-property-tested (tests/test_pfor.py) with a measured size/speed
-comparison against the varint codec; the segment store keeps varint as
-its on-disk default (swapping would need blob versioning — documented
-trade-off, not a gap).
+matrix); no per-value Python. The codec is roundtrip-property-tested
+(tests/test_pfor.py) and integrated into the segment store behind
+``BuildConfig.block_codec="pfor"``: postings blobs are self-describing
+(codec id in byte 0 — functions/codec.py), so query/compaction paths
+decode mixed-codec stores with no config plumbing, and an index built
+with either codec yields byte-identical query results
+(tests/test_pfor_integration.py). varint stays the default.
 """
 
 from __future__ import annotations
@@ -85,7 +87,31 @@ def pfor_encode(values: np.ndarray) -> bytes:
     return header + packed + exc
 
 
-def pfor_decode(buf: bytes | memoryview) -> np.ndarray:
+def pfor_stream_len(data: np.ndarray) -> int:
+    """Byte length of the pfor stream starting at ``data[0]`` (a uint8
+    array). Streams are self-delimiting: header gives n/width/exceptions,
+    the exception tail is 2*n_exc varints found by a continuation-bit
+    scan bounded to 10 bytes/varint."""
+    b = int(data[0])
+    n = int(data[1]) | (int(data[2]) << 8)
+    n_exc = int(data[3]) | (int(data[4]) << 8)
+    off = 5 + ((n * b + 7) // 8 if n else 0)
+    if n_exc:
+        cap = 10 * 2 * n_exc
+        is_last = (data[off : off + cap] & 0x80) == 0
+        ends = np.flatnonzero(is_last)
+        off += int(ends[2 * n_exc - 1]) + 1
+    return off
+
+
+def pfor_decode_stream(data: np.ndarray) -> tuple[np.ndarray, int]:
+    """Decode the pfor stream at ``data[0]``; returns (values, consumed
+    bytes) so back-to-back streams can be walked."""
+    ln = pfor_stream_len(data)
+    return pfor_decode(data[:ln]), ln
+
+
+def pfor_decode(buf: bytes | memoryview | np.ndarray) -> np.ndarray:
     """Decode one PForDelta stream back to uint64."""
     data = np.frombuffer(buf, dtype=np.uint8)
     b = int(data[0])

@@ -111,6 +111,12 @@ class BuildConfig:
     # (P ~ |V|^2 / 2^65 — detectable, never silent). Postings bytes are
     # identical to the string path (doc order within a term is unchanged).
     # Measured trade-off in docs/SCALE.md; default follows the measurement.
+    block_codec: str = "varint"
+    # Posting-block stream codec: "varint" (delta+varint, default) or
+    # "pfor" (PForDelta/NewPFD — functions/pfor.py), the two encodings
+    # BASELINE.json sanctions for B6. Blobs are self-describing (codec id
+    # in byte 0), so readers and compaction handle mixed-codec stores —
+    # e.g. a varint base index receiving pfor streamed appends.
 
 
 # packed-shuffle layout bounds (tf_table / _encode_group): token rows
@@ -142,7 +148,7 @@ def _extract_text() -> "F.Column":
     return F.coalesce(F.col("text"), stripped)
 
 
-def _encode_group(positions: bool = False, term_key: str = "term"):
+def _encode_group(positions: bool = False, term_key: str = "term", codec: str = "varint"):
     """C9: per-(bucket, salt) group of TOKEN-level rows -> one segment row
     per term.
 
@@ -197,7 +203,8 @@ def _encode_group(positions: bool = False, term_key: str = "term"):
                 pos_all[token_bounds[s] : token_bounds[e]] if positions else None
             )
             blob, bm = encode_postings(
-                run_docs[s:e], run_tfs[s:e], run_dls[s:e], positions_flat=pf
+                run_docs[s:e], run_tfs[s:e], run_dls[s:e], positions_flat=pf,
+                codec=codec,
             )
             out.append(
                 (
@@ -225,7 +232,7 @@ def _encode_group(positions: bool = False, term_key: str = "term"):
     return encode
 
 
-def _merge_group():
+def _merge_group(codec: str = "varint"):
     """C10: merge one term's sub-segments (disjoint doc ranges) into one.
 
     Sub-segments are decoded, concatenated in min_doc order, re-encoded.
@@ -253,7 +260,7 @@ def _merge_group():
         tfs = np.concatenate(tfs_l)
         dls = np.concatenate(dls_l)
         pf = np.concatenate(pos_l) if with_pos else None
-        blob, bm = encode_postings(docs, tfs, dls, positions_flat=pf)
+        blob, bm = encode_postings(docs, tfs, dls, positions_flat=pf, codec=codec)
         first = pdf.iloc[0]
         return pd.DataFrame(
             [
@@ -281,7 +288,10 @@ def _merge_group():
 
 
 def compact_segments(
-    spark: SparkSession, index_dir: str, max_postings_per_segment: int
+    spark: SparkSession,
+    index_dir: str,
+    max_postings_per_segment: int,
+    block_codec: str = "varint",
 ) -> int:
     """C10 — Lucene-merge analog, standalone maintenance operation.
 
@@ -310,7 +320,9 @@ def compact_segments(
     if n_merged > 0:
         to_merge = raw.join(F.broadcast(mergeable), "term")
         untouched = raw.join(F.broadcast(mergeable), "term", "left_anti")
-        merged = to_merge.groupBy("term").applyInPandas(_merge_group(), SEGMENT_SCHEMA)
+        merged = to_merge.groupBy("term").applyInPandas(
+            _merge_group(codec=block_codec), SEGMENT_SCHEMA
+        )
         final = untouched.select(SEGMENT_SCHEMA.fieldNames()).unionByName(
             merged.select(SEGMENT_SCHEMA.fieldNames())
         )
@@ -632,6 +644,7 @@ def _build_index_body(
                 _encode_group(
                     positions=cfg.positions,
                     term_key="t64" if cfg.term_hash_shuffle else "term",
+                    codec=cfg.block_codec,
                 ),
                 SEGMENT_SCHEMA_T64 if cfg.term_hash_shuffle else SEGMENT_SCHEMA,
             )
@@ -666,7 +679,9 @@ def _build_index_body(
     if not mf.is_done("compact"):
         t0 = time.time()
         n_merged = (
-            compact_segments(spark, index_dir, cfg.max_postings_per_segment)
+            compact_segments(
+                spark, index_dir, cfg.max_postings_per_segment, cfg.block_codec
+            )
             if cfg.compact
             else 0
         )

@@ -52,6 +52,7 @@ def _append_batch(
     index_dir: str,
     num_buckets: int,
     stream_id: str = "default",
+    block_codec: str = "varint",
 ) -> None:
     # Retry safety under at-least-once foreachBatch replay: (1) a fully
     # committed epoch is skipped via the manifest; (2) segments land in a
@@ -140,7 +141,7 @@ def _append_batch(
         ),
     )
     segs = tf.groupBy("gkey").applyInPandas(
-        _encode_group(positions=positions), SEGMENT_SCHEMA
+        _encode_group(positions=positions, codec=block_codec), SEGMENT_SCHEMA
     )
     segs.write.mode("overwrite").partitionBy("bucket").parquet(
         f"{index_dir}/segments/chunk=stream_{stream_id}_{epoch_id}"

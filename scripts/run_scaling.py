@@ -177,6 +177,15 @@ def main(n_docs: int = 500_000) -> None:
             )
             with open(out_json) as f:
                 runs.append(json.load(f))
+            # results/doc_map_sha needed for the determinism asserts are
+            # in out_json; the index itself isn't read again — drop it so
+            # 9 reps on tmpfs don't eat the host's RAM (the runner builds
+            # twice per rep: idx_*_1 cold, idx_*_2 warm, plus eventlog)
+            import glob as _glob
+            import shutil
+
+            for d in _glob.glob(idx + "*"):
+                shutil.rmtree(d, ignore_errors=True)
             print(f"{master} rep{rep}: {runs[-1]['docs_per_sec']} docs/s "
                   f"(run {time.time()-t0:.0f}s incl session)")
         # repeats must agree on results + doc map — determinism across reruns

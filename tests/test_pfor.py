@@ -62,3 +62,40 @@ def test_decode_speed_sane():
     wall = time.perf_counter() - t0
     assert n == 8000 * 128
     assert wall < 2.0, wall
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=2**40),   # doc gap
+            st.integers(min_value=1, max_value=1000),    # tf
+            st.integers(min_value=1, max_value=2**21),   # dl
+        ),
+        min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=100, deadline=None)
+def test_cross_codec_postings_equality(rows):
+    """encode_postings(codec='pfor') and (codec='varint') must decode to
+    identical postings with identical blockmax bounds — the property the
+    integrated store equivalence (test_pfor_integration.py) rests on."""
+    from find_that_charity_spark.functions.codec import (
+        decode_postings,
+        encode_postings,
+    )
+
+    gaps = np.array([r[0] for r in rows], dtype=np.int64)
+    docs = np.cumsum(gaps)
+    tfs = np.array([r[1] for r in rows], dtype=np.int64)
+    dls = np.array([r[2] for r in rows], dtype=np.int64)
+    b_v, m_v = encode_postings(docs, tfs, dls, codec="varint")
+    b_p, m_p = encode_postings(docs, tfs, dls, codec="pfor")
+    # blockmax bounds identical (offsets may differ — byte layouts differ)
+    assert [(a[0], a[1], a[2], a[4]) for a in m_v] == [
+        (a[0], a[1], a[2], a[4]) for a in m_p
+    ]
+    out_v = decode_postings(b_v, m_v)
+    out_p = decode_postings(b_p, m_p)
+    for a, b in zip(out_v, out_p):
+        assert np.array_equal(a, b)
