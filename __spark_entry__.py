@@ -52,11 +52,17 @@ from find_that_charity_spark.operators.query import run_queries
 # id_buckets=1 makes the engine's internal doc ids coincide with the original
 # documents.doc_id order (urls are zero-padded doc ids), so BM25 score ties
 # break identically in the engine and the SQL oracle.
-_SEG_INDEX_CACHE: dict[str, str] = {}
+_SEG_INDEX_CACHE: dict[tuple[str, str], str] = {}
 
 
-def _ensure_segment_index(spark: SparkSession, sf_dir: str) -> str:
-    if sf_dir not in _SEG_INDEX_CACHE:
+def _ensure_segment_index(
+    spark: SparkSession, sf_dir: str, codec: str = "varint"
+) -> str:
+    """One index per (sf_dir, codec). The "pfor" twin backs the
+    bm25_segments_pfor gate: same corpus, same queries, alternate
+    posting-block codec (BuildConfig.block_codec) — the driver's DuckDB
+    oracle then verifies the PForDelta path end-to-end, not just pytest."""
+    if (sf_dir, codec) not in _SEG_INDEX_CACHE:
         idx = tempfile.mkdtemp(prefix="ftc_idx_")
         docs = read_table(spark, sf_dir, "documents")
         pages = docs.select(
@@ -74,14 +80,18 @@ def _ensure_segment_index(spark: SparkSession, sf_dir: str) -> str:
                 num_buckets=8, id_buckets=1, max_postings_per_segment=5000,
                 positions=True,  # phrase-query gate needs positional postings
                 aqe_coalesce=True,  # toy-corpus setting (see BuildConfig)
+                block_codec=codec,
             ),
         )
-        _SEG_INDEX_CACHE[sf_dir] = idx
-    return _SEG_INDEX_CACHE[sf_dir]
+        _SEG_INDEX_CACHE[(sf_dir, codec)] = idx
+    return _SEG_INDEX_CACHE[(sf_dir, codec)]
 
 
-def _segment_topk(spark: SparkSession, sf_dir: str, text: str, mode: str, k: int = 10) -> DataFrame:
-    idx = _ensure_segment_index(spark, sf_dir)
+def _segment_topk(
+    spark: SparkSession, sf_dir: str, text: str, mode: str, k: int = 10,
+    codec: str = "varint",
+) -> DataFrame:
+    idx = _ensure_segment_index(spark, sf_dir, codec)
     qdf = spark.createDataFrame(
         [("q1", text, k, mode)], "qid string, text string, k int, mode string"
     )
@@ -508,6 +518,15 @@ def _q_segments_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_topk(spark, sf_dir, FLAGSHIP_QUERY, "freetext", k=10)
 
 
+def _q_segments_pfor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query against a PForDelta-coded index (B6's alternate
+    codec, BuildConfig.block_codec="pfor"): the oracle is the same
+    brute-force SQL, so a hash match proves codec-independence of the
+    whole engine path under the driver's own gate."""
+    return _segment_topk(spark, sf_dir, FLAGSHIP_QUERY, "freetext", k=10,
+                         codec="pfor")
+
+
 def _q_segments_recon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recon-mode (A3): case-mangled entity-style lookup via analyze_name."""
     return _segment_topk(spark, sf_dir, "CUSTOMER Query", "recon", k=10)
@@ -586,6 +605,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_phrase": _q_segments_phrase,
         "bm25_segments_fuzzy": _q_segments_fuzzy,
         "bm25_segments_sharded": _q_segments_sharded,
+        "bm25_segments_pfor": _q_segments_pfor,
         "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
         "bm25_topk_single_term": _q_bm25_single_term,
@@ -653,6 +673,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_phrase": phrase_topk_sql("slow fast", k=10),
         "bm25_segments_fuzzy": fuzzy_topk_sql("custmer quary", k=10),
         "bm25_segments_sharded": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "bm25_segments_pfor": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "index_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents
