@@ -368,10 +368,15 @@ def incremental_refresh(
     index_dir: str,
     num_buckets: int = 32,
     checkpoint_dir: str | None = None,
+    block_codec: str = "varint",
 ) -> None:
     """Drain new corpus files into the index (Trigger.AvailableNow), then
     refresh global stats. Idempotent per-source-file via the streaming
-    checkpoint; rank-exactness restored by refresh_stats at the end."""
+    checkpoint; rank-exactness restored by refresh_stats at the end.
+
+    ``block_codec`` may differ from the base index's codec: blobs are
+    self-describing (functions/codec.py), so a varint base accepting
+    pfor appends is a supported mixed store (tests/test_streaming.py)."""
     import hashlib
 
     checkpoint = checkpoint_dir or f"{index_dir}/_stream_checkpoint"
@@ -384,7 +389,8 @@ def incremental_refresh(
     q = (
         stream.writeStream.foreachBatch(
             lambda df, epoch: _append_batch(
-                spark, df, epoch, index_dir, num_buckets, stream_id=stream_id
+                spark, df, epoch, index_dir, num_buckets, stream_id=stream_id,
+                block_codec=block_codec,
             )
         )
         .option("checkpointLocation", checkpoint)

@@ -128,3 +128,58 @@ def test_mixed_codec_merge_decodes():
     d, t, dl = decode_postings(merged.iloc[0]["postings"], out_bm)
     assert d.size == 600 and np.all(np.diff(d) > 0)
     assert bytes(merged.iloc[0]["postings"])[0] == CODEC_PFOR
+
+
+def test_mixed_codec_streaming_appends(spark, tmp_path_factory):
+    """End-to-end mixed store: varint BASE index + pfor STREAMED appends.
+    Queries spanning both segment generations must stay rank-identical to
+    the brute-force oracle, and compaction (which may merge a varint
+    sub-segment with a pfor one) must preserve results."""
+    from find_that_charity_spark.operators.build import compact_segments
+    from find_that_charity_spark.operators.oracle import brute_force_topk
+    from find_that_charity_spark.operators.query import run_queries
+    from find_that_charity_spark.sources.corpus import WEB_PAGES_SCHEMA
+    from find_that_charity_spark.sources.synth import synth_web_pages
+    from find_that_charity_spark.streaming.incremental import incremental_refresh
+
+    root = tmp_path_factory.mktemp("pfor_stream")
+    pages = synth_web_pages(300)
+    pages = pages.sort_values("warc_ts").groupby("url").tail(1).sort_index()
+    base, extra = pages.iloc[:200], pages.iloc[200:]
+    idx = str(root / "idx")
+    spark.createDataFrame(base, WEB_PAGES_SCHEMA).write.parquet(str(root / "base"))
+    spark.createDataFrame(extra, WEB_PAGES_SCHEMA).write.parquet(str(root / "in"))
+    build_index(
+        spark, str(root / "base"), idx,
+        BuildConfig(num_buckets=8, id_buckets=8, max_postings_per_segment=10_000,
+                    segment_chunks=1, block_codec="varint"),
+    )
+    incremental_refresh(spark, str(root / "in"), idx, num_buckets=8,
+                        block_codec="pfor")
+    segs = spark.read.parquet(f"{idx}/segments").select("postings").collect()
+    codecs = {bytes(r["postings"])[0] for r in segs}
+    assert codecs == {CODEC_VARINT, CODEC_PFOR}, codecs  # genuinely mixed
+
+    docs = spark.read.parquet(f"{idx}/docs").select("doc_id", "url").toPandas()
+    merged = docs.merge(pages[["url", "text"]], on="url", validate="one_to_one")
+    merged = merged.sort_values("doc_id")
+    qdf = spark.createDataFrame(
+        [("q0", "charitable trust", 10, "freetext"), ("q1", "w0001", 10, "freetext")],
+        "qid string, text string, k int, mode string",
+    )
+
+    def check():
+        got = run_queries(spark, idx, qdf).toPandas()
+        for qid, text in (("q0", "charitable trust"), ("q1", "w0001")):
+            want = brute_force_topk(
+                merged["doc_id"].tolist(), merged["text"].tolist(), text, k=10
+            )
+            mine = got[got["qid"] == qid].sort_values("rank")
+            assert mine["doc_id"].tolist() == [d for d, _ in want], text
+            for s_got, (_, s_want) in zip(mine["score"], want):
+                assert s_got == pytest.approx(s_want, rel=1e-6)
+
+    check()
+    compact_segments(spark, idx, max_postings_per_segment=10_000,
+                     block_codec="pfor")
+    check()
