@@ -87,6 +87,113 @@ def _ensure_segment_index(
     return _SEG_INDEX_CACHE[(sf_dir, codec)]
 
 
+# Document-update gates (VERDICT r03 item 1): one base index per sf_dir is
+# re-crawled (docs with doc_id % 17 == 0 get brand-new text with a marker
+# term and a newer warc_ts) through the STREAMING append path, which
+# tombstones the superseded rows. Stage "updated" keeps the tombstones
+# (queries exclude them at scoring); stage "vacuumed" runs vacuum_index
+# (physical drop + exact df/avgdl). Both stages are score-exact vs the
+# DuckDB oracle over the post-update corpus for the marker query; the
+# flagship gate needs the vacuumed stage (stale df before it — the same
+# drift ES tolerates between merges).
+_UPDATED_INDEX_CACHE: dict[str, dict] = {}
+
+# text for an updated doc — MUST tokenize identically in Spark and DuckDB:
+#   'zzupdated revision of page <doc_id>' + (doc_id % 3) extra markers,
+# so tf in {1,2,3} and dl in {5,6,7} vary by doc (scores form classes)
+def _updated_text_expr():
+    return F.concat(
+        F.lit("zzupdated revision of page "),
+        F.col("doc_id").cast("string"),
+        F.expr("repeat(' zzupdated', CAST(pmod(doc_id, 3) AS INT))"),
+    )
+_UPDATED_TABLE_SQL = """(
+  SELECT doc_id,
+         CASE WHEN doc_id % 17 = 0
+              THEN 'zzupdated revision of page ' || CAST(doc_id AS VARCHAR)
+                   || repeat(' zzupdated', CAST(doc_id % 3 AS INT))
+              ELSE text END AS text
+  FROM documents)"""
+
+
+def _ensure_updated_index(spark: SparkSession, sf_dir: str, vacuumed: bool) -> str:
+    from find_that_charity_spark.operators.vacuum import vacuum_index
+    from find_that_charity_spark.streaming.incremental import incremental_refresh
+
+    state = _UPDATED_INDEX_CACHE.get(sf_dir)
+    if state is None:
+        idx = tempfile.mkdtemp(prefix="ftc_updidx_")
+        docs = read_table(spark, sf_dir, "documents")
+        pages = docs.select(
+            F.format_string("doc://%08d", "doc_id").alias("url"),
+            F.lit("2024-01-01").cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            "text",
+            "lang",
+        )
+        build_index(
+            spark, pages, idx,
+            BuildConfig(num_buckets=8, id_buckets=1, max_postings_per_segment=5000,
+                        positions=True, aqe_coalesce=True),
+        )
+        stream_dir = tempfile.mkdtemp(prefix="ftc_updstream_")
+        docs.where(F.pmod("doc_id", F.lit(17)) == 0).select(
+            F.format_string("doc://%08d", "doc_id").alias("url"),
+            F.lit("2024-02-01").cast("timestamp").alias("warc_ts"),
+            F.lit(None).cast("binary").alias("html"),
+            _updated_text_expr().alias("text"),
+            "lang",
+        ).write.mode("overwrite").parquet(stream_dir)
+        incremental_refresh(spark, stream_dir, idx, num_buckets=8)
+        state = {"idx": idx, "vacuumed": False}
+        _UPDATED_INDEX_CACHE[sf_dir] = state
+    if vacuumed and not state["vacuumed"]:
+        vacuum_index(spark, state["idx"])
+        state["vacuumed"] = True
+    return state["idx"]
+
+
+def _q_segments_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship query over the updated-and-vacuumed index: superseded docs
+    are physically gone and df/avgdl are exact for the live corpus, so
+    top-10 is rank- and score-identical to the oracle over the post-update
+    corpus. Updated docs (new text lacks the flagship terms) never match —
+    their absence IS the 'stale doc is gone' assertion."""
+    idx = _ensure_updated_index(spark, sf_dir, vacuumed=True)
+    qdf = spark.createDataFrame(
+        [("q1", FLAGSHIP_QUERY, 10, "freetext")],
+        "qid string, text string, k int, mode string",
+    )
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    return res.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
+    )
+
+
+def _q_segments_updated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-term query over the updated index — exercises the tombstone-
+    exclusion scoring path when it runs before the vacuum gate (and is
+    score-exact either way: the marker term exists only in post-update
+    text, so its df and the refreshed n_docs/avgdl are already exact
+    pre-vacuum). Rank is omitted: updated docs score in (tf, dl) classes
+    with in-class ties, and the engine's internal append ids order ties
+    differently than the oracle's original doc ids — the value multiset is
+    the deterministic contract. k exceeds every possible match count, so
+    the cutoff never binds."""
+    idx = _ensure_updated_index(spark, sf_dir, vacuumed=False)
+    qdf = spark.createDataFrame(
+        [("q1", "zzupdated", 50_000, "freetext")],
+        "qid string, text string, k int, mode string",
+    )
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    return res.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
+    )
+
+
 def _segment_topk(
     spark: SparkSession, sf_dir: str, text: str, mode: str, k: int = 10,
     codec: str = "varint",
@@ -606,6 +713,8 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_fuzzy": _q_segments_fuzzy,
         "bm25_segments_sharded": _q_segments_sharded,
         "bm25_segments_pfor": _q_segments_pfor,
+        "bm25_segments_updated_docs": _q_segments_updated_docs,
+        "bm25_segments_after_update": _q_segments_after_update,
         "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
         "bm25_topk_single_term": _q_bm25_single_term,
@@ -674,6 +783,14 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_fuzzy": fuzzy_topk_sql("custmer quary", k=10),
         "bm25_segments_sharded": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_segments_pfor": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
+        "bm25_segments_updated_docs": (
+            "SELECT doc_id, score_mil FROM ("
+            + bm25_topk_sql("zzupdated", k=50_000, table=_UPDATED_TABLE_SQL)
+            + ") t"
+        ),
+        "bm25_segments_after_update": bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, table=_UPDATED_TABLE_SQL
+        ),
         "index_stats": f"""
             WITH toks AS (
               SELECT doc_id, unnest({_TOKS}) AS term FROM documents

@@ -39,6 +39,14 @@ from find_that_charity_spark.functions.bm25 import K1 as BM25_K1
 
 BLOCK_SIZE = 128  # pinned (BASELINE.json north_star)
 
+# On-disk index format version, stamped into <index_dir>/format.json at
+# build time and checked at read time (plans/checkpoint.py). Version 2
+# introduced the self-describing codec-id byte at blob offset 0; a v1 blob
+# (r02-era, no codec byte) starts directly with varint data, so byte 0 is
+# often 0x01 — which would misroute decode_block to the PFOR path and
+# score garbage. Readers fail fast with a rebuild hint instead.
+FORMAT_VERSION = 2
+
 # blob byte 0 is the block-stream codec id — the blob is self-describing,
 # so readers never need config plumbing and a segment store may mix
 # codecs (e.g. a varint base index + pfor streamed appends) safely:
@@ -180,8 +188,13 @@ def encode_postings(
     codec_id = _CODEC_IDS[codec]
     if codec_id == CODEC_PFOR:
         from find_that_charity_spark.functions.pfor import pfor_encode as _enc
+        from find_that_charity_spark.functions.pfor import pfor_encode_chunked as _enc_pos
     else:
         _enc = varint_encode
+        # the positions stream holds sum(tf) values per block — unbounded,
+        # unlike the three <=128-value head streams. varint has no length
+        # cap; pfor's uint16 count field needs chunking (pfor.py).
+        _enc_pos = varint_encode
     parts: list[bytes] = [bytes([codec_id])]
     blockmax: list[tuple[int, int, int, int, int]] = []
     offset = 1  # byte 0 is the codec id
@@ -194,7 +207,7 @@ def encode_postings(
         )
         if positions_flat is not None:
             pf = positions_flat[pos_bounds[s] : pos_bounds[e]]
-            blk += _enc(_position_deltas(pf, tfs[s:e]))
+            blk += _enc_pos(_position_deltas(pf, tfs[s:e]))
         parts.append(blk)
         blockmax.append(
             (int(doc_ids[e - 1]), int(tfs[s:e].max()), int(dls[s:e].min()), offset, e - s)
@@ -224,20 +237,25 @@ def decode_block(
     no config plumbing."""
     full = np.frombuffer(blob, dtype=np.uint8)
     if int(full[0]) == CODEC_PFOR:
-        from find_that_charity_spark.functions.pfor import pfor_decode_stream
+        from find_that_charity_spark.functions.pfor import pfor_decode_n, pfor_decode_stream
 
         data = full[offset:]
         deltas, used = pfor_decode_stream(data)
+        assert deltas.size == n, f"corrupt pfor block: {deltas.size} deltas, expected {n}"
         tfs_u, ln = pfor_decode_stream(data[used:])
+        assert tfs_u.size == n, f"corrupt pfor block: {tfs_u.size} tfs, expected {n}"
         used += ln
         dls_u, ln = pfor_decode_stream(data[used:])
+        assert dls_u.size == n, f"corrupt pfor block: {dls_u.size} dls, expected {n}"
         used += ln
         tfs = tfs_u.astype(np.int64)
         dls = dls_u.astype(np.int64)
         docs = np.cumsum(deltas.astype(np.int64)) + prev_last_doc
         if not with_positions:
             return docs, tfs, dls
-        pos_deltas, _ = pfor_decode_stream(data[used:])
+        # positions stream: sum(tf) values, possibly chunked across
+        # multiple back-to-back pfor streams (uint16 cap — pfor.py)
+        pos_deltas, _ = pfor_decode_n(data[used:], int(tfs.sum()))
         return docs, tfs, dls, _positions_from_deltas(pos_deltas, tfs)
     head_vals = 3 * n
     # varints are <=10 bytes each: a safe upper bound on the head streams

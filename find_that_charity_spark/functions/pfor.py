@@ -87,6 +87,47 @@ def pfor_encode(values: np.ndarray) -> bytes:
     return header + packed + exc
 
 
+def pfor_encode_chunked(values: np.ndarray) -> bytes:
+    """Encode an arbitrarily long uint64 array as back-to-back pfor
+    streams of <=65535 values each.
+
+    The block codec's uint16 count field caps one stream at 65535 values;
+    a positions stream holds sum(tf) entries per posting block, which is
+    unbounded (128 postings with tf=600 each already overflows). Streams
+    are self-delimiting, so the decoder (:func:`pfor_decode_n`) walks
+    chunks until the expected value count is reached. Arrays <=65535
+    values encode byte-identically to a single :func:`pfor_encode` call,
+    so existing stores stay readable."""
+    v = np.asarray(values, dtype=np.uint64)
+    if v.size <= 0xFFFF:
+        return pfor_encode(v)
+    return b"".join(pfor_encode(v[s : s + 0xFFFF]) for s in range(0, v.size, 0xFFFF))
+
+
+def pfor_decode_n(data: np.ndarray, n: int) -> tuple[np.ndarray, int]:
+    """Decode back-to-back pfor streams starting at ``data[0]`` until
+    exactly ``n`` values are read; returns (values, consumed bytes).
+
+    Inverse of :func:`pfor_encode_chunked`. A count mismatch (stream
+    boundary not landing exactly on ``n``) means corruption and raises."""
+    if n == 0:
+        # the encoder writes one explicit empty stream for size-0 input
+        vals, used = pfor_decode_stream(data)
+        assert vals.size == 0, f"expected empty pfor stream, got {vals.size} values"
+        return vals, used
+    out: list[np.ndarray] = []
+    used = 0
+    got = 0
+    while got < n:
+        vals, ln = pfor_decode_stream(data[used:])
+        assert vals.size > 0, "zero-length pfor chunk inside a non-empty stream"
+        out.append(vals)
+        used += ln
+        got += vals.size
+    assert got == n, f"pfor chunked stream has {got} values, expected {n}"
+    return (out[0] if len(out) == 1 else np.concatenate(out)), used
+
+
 def pfor_stream_len(data: np.ndarray) -> int:
     """Byte length of the pfor stream starting at ``data[0]`` (a uint8
     array). Streams are self-delimiting: header gives n/width/exceptions,

@@ -49,7 +49,7 @@ from pyspark.sql.types import (
 from find_that_charity_spark.functions.analyzer import tokenize_udf
 from find_that_charity_spark.functions.codec import decode_postings, encode_postings
 from find_that_charity_spark.operators.doc_ids import dedup_and_assign_ids
-from find_that_charity_spark.plans.checkpoint import Manifest
+from find_that_charity_spark.plans.checkpoint import Manifest, write_format
 from find_that_charity_spark.sources.corpus import read_corpus
 
 BLOCKMAX_TYPE = ArrayType(
@@ -368,6 +368,7 @@ def build_index(
     ``corpus_source``: Iceberg table name / parquet path, or a prepared
     DataFrame in the web_pages schema."""
     cfg = config or BuildConfig()
+    write_format(index_dir)  # stamp (or verify) the on-disk format version
     mf = Manifest(index_dir)
     metrics: dict = {}
 

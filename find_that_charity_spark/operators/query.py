@@ -41,6 +41,7 @@ from pyspark.sql.types import (
 
 from find_that_charity_spark.functions.analyzer import tokenize_name_udf, tokenize_udf
 from find_that_charity_spark.functions.bm25 import idf_np
+from find_that_charity_spark.plans.checkpoint import check_format
 from find_that_charity_spark.functions.codec import decode_block
 
 RESULTS_SCHEMA = StructType(
@@ -94,12 +95,23 @@ def _make_cursor(idf: float, blob: bytes, blockmax, avgdl: float) -> _Cursor:
 
 
 def score_query_bmw(
-    cursors: list[_Cursor], k: int, avgdl: float, stats: dict | None = None
+    cursors: list[_Cursor],
+    k: int,
+    avgdl: float,
+    stats: dict | None = None,
+    exclude: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Window-sweep Block-Max WAND: exact top-k with block skipping.
 
     ``stats`` (optional) is filled with pruning counters:
-    windows_total / windows_skipped / blocks_decoded / blocks_total."""
+    windows_total / windows_skipped / blocks_decoded / blocks_total.
+
+    ``exclude`` (sorted int64, optional): doc ids barred from the top-k —
+    the tombstone set of updated/deleted documents (streaming/incremental).
+    Applied when candidates enter the heap; block upper bounds still count
+    excluded postings, which only ever OVER-estimates, so pruning stays
+    safe (the ES/Lucene analog: deleted docs still shape skip data until
+    a merge drops them)."""
     from find_that_charity_spark.functions.codec import tfnorm as _tfn
 
     if not cursors or k <= 0:
@@ -165,6 +177,9 @@ def score_query_bmw(
             uniq, inv = np.unique(docs, return_inverse=True)
             total = np.zeros(len(uniq))
             np.add.at(total, inv, scores)
+            if exclude is not None and exclude.size:
+                keep = ~_member_mask(exclude, uniq)
+                uniq, total = uniq[keep], total[keep]
             for d, sc in zip(uniq.tolist(), total.tolist()):
                 entry = (sc, -d)
                 if len(heap) < k:
@@ -257,6 +272,7 @@ def score_phrase(
     idfs: dict[str, float],
     avgdl: float,
     k: int,
+    exclude: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact phrase top-k (ES match_phrase / Lucene PhraseQuery analog).
 
@@ -282,6 +298,12 @@ def score_phrase(
     base = lists[0][0]
     for docs, _tf, _dl, _p in lists[1:]:
         base = base[_member_mask(docs, base)]
+        if base.size == 0:
+            return []
+    if exclude is not None and exclude.size:
+        # tombstoned (updated/deleted) docs leave the candidate set before
+        # the position gather — cheapest possible point to drop them
+        base = base[~_member_mask(exclude, base)]
         if base.size == 0:
             return []
     weight = sum(idfs[t] * len(offs) for t, offs in q_offsets.items())
@@ -387,14 +409,22 @@ def score_boolean(
     return [(int(uniq[i]), float(total[i])) for i in order]
 
 
-def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
+def make_query_scorer(
+    n_docs: int, avgdl: float, use_bmw: bool = True, tombstones=None
+):
     """applyInPandas scorer over per-qid groups of (term, segment) rows.
 
     Pure-OR queries go through Block-Max WAND; conjunctive ('bool_and')
     and exclusion ('-term') queries use the galloping-intersect path —
-    itself sublinear for AND, since the rarest term drives the scan."""
+    itself sublinear for AND, since the rarest term drives the scan.
+
+    ``tombstones``: sorted int64 array of superseded doc ids (document
+    updates/deletes — streaming/incremental.py), or a Spark Broadcast of
+    one (ships once per executor instead of once per task closure).
+    Excluded from every result; physically dropped by vacuum_index."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
+        tomb = tombstones.value if hasattr(tombstones, "value") else tombstones
         qid = pdf["qid"].iloc[0]
         k = int(pdf["k"].iloc[0])
         mode = pdf["mode"].iloc[0]
@@ -443,7 +473,7 @@ def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
                     np.concatenate([p[2] for p in parts]),
                     np.concatenate([p[3] for p in parts]),
                 )
-            top = score_phrase(term_data, q_offsets, idfs, avgdl, k)
+            top = score_phrase(term_data, q_offsets, idfs, avgdl, k, exclude=tomb)
         elif conjunctive or not negs.empty or sharded or not use_bmw:
             term_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for term, grp in pos.groupby("term", sort=True):
@@ -462,12 +492,15 @@ def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
             neg_docs = (
                 np.unique(np.concatenate(neg_docs_l)) if neg_docs_l else np.empty(0, np.int64)
             )
+            if tomb is not None and tomb.size:
+                # tombstones ride the existing NOT-exclusion path (D7)
+                neg_docs = np.union1d(neg_docs, tomb)
             top = score_boolean(term_lists, conjunctive, neg_docs, k)
         else:
             cursors: list[_Cursor] = []
             for term, grp in pos.groupby("term", sort=True):
                 cursors.extend(cursors_of(grp))
-            top = score_query_bmw(cursors, k, avgdl)
+            top = score_query_bmw(cursors, k, avgdl, exclude=tomb)
         return pd.DataFrame(
             {
                 "qid": qid,
@@ -480,7 +513,37 @@ def make_query_scorer(n_docs: int, avgdl: float, use_bmw: bool = True):
     return score
 
 
+def read_tombstones(spark: SparkSession, index_dir: str) -> np.ndarray:
+    """Superseded doc ids (document updates/deletes) as a sorted int64
+    array — empty when the index has none.
+
+    The set is bounded by updates since the last ``vacuum_index`` (the ES
+    analog: deleted-docs count between merges), so a maintained index
+    keeps it far below driver/broadcast comfort; at web scale the
+    operational rule is vacuum when the tombstone ratio passes a few
+    percent, exactly like ES's expunge-deletes threshold. Units may
+    contain duplicate ids (replayed epochs re-tombstone dominated rows),
+    hence the distinct."""
+    import os
+
+    from pyspark.errors import AnalysisException
+
+    path = f"{index_dir}/tombstones"
+    local = path[7:] if path.startswith("file:") else path
+    if "://" not in local and not os.path.exists(local):
+        return np.empty(0, dtype=np.int64)
+    try:
+        rows = spark.read.parquet(path).select("doc_id").distinct().collect()
+    except AnalysisException:  # remote store without a tombstones dir
+        return np.empty(0, dtype=np.int64)
+    return np.sort(np.array([r[0] for r in rows], dtype=np.int64))
+
+
 def load_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
+    # every query entry point reads stats first — piggyback the on-disk
+    # format check here so an old-layout store fails fast with a rebuild
+    # hint instead of misdecoding blobs (ADVICE r03)
+    check_format(index_dir)
     row = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
     return int(row["n_docs"]), float(row["avgdl"])
 
@@ -521,6 +584,10 @@ class IndexSearcher:
                 r["term"]: (r["bucket"], r["df"]) for r in self.dictionary.collect()
             }
         self.segments = spark.read.parquet(f"{index_dir}/segments")
+        # tombstones pinned once for the handle's lifetime (warm regime);
+        # reopen the searcher after appends/vacuum, as with stats/dictionary
+        tomb = read_tombstones(spark, index_dir)
+        self._tomb_bc = spark.sparkContext.broadcast(tomb) if tomb.size else None
 
     def search(self, text: str, k: int = 10, mode: str = "freetext") -> list:
         """One query -> [(rank, doc_id, score)] — two Spark jobs, warm."""
@@ -598,7 +665,9 @@ class IndexSearcher:
                 "min_doc", "max_doc", "has_positions", "postings", "blockmax",
             )
         )
-        scorer = make_query_scorer(self.n_docs, self.avgdl, use_bmw=True)
+        scorer = make_query_scorer(
+            self.n_docs, self.avgdl, use_bmw=True, tombstones=self._tomb_bc
+        )
 
         def one_group(it):
             import pandas as pd  # noqa: PLC0415 — worker-side import
@@ -666,6 +735,10 @@ def run_queries(
     unsharded path and the brute-force oracle.
     """
     n_docs, avgdl = load_stats(spark, index_dir)
+    tomb = read_tombstones(spark, index_dir)
+    # one broadcast per batch: the (small, vacuum-bounded) tombstone set
+    # ships once per executor, not once per scorer task closure
+    tomb_bc = spark.sparkContext.broadcast(tomb) if tomb.size else None
 
     # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
     # mode 'bool_and' makes every positive term required (conjunctive);
@@ -876,7 +949,7 @@ def run_queries(
         "has_positions", "postings", "blockmax",
     )
 
-    scorer = make_query_scorer(n_docs, avgdl, use_bmw=use_bmw)
+    scorer = make_query_scorer(n_docs, avgdl, use_bmw=use_bmw, tombstones=tomb_bc)
     if doc_shards and doc_shards > 1:
         span = max(1, -(-(n_docs) // doc_shards))  # ceil
         # explode each segment row to the doc-range shards it overlaps;
@@ -909,6 +982,13 @@ def run_queries(
     else:
         results = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA)
     if join_urls:
+        # D6 join-back: results is qids x k rows against a corpus-sized docs
+        # table — broadcast the top-k side EXPLICITLY (VERDICT r03 item 7:
+        # AQE usually picks this at runtime, but the guaranteed plan beats
+        # the usual one at the 100x setting where a sort-merge fallback
+        # would shuffle the whole docs table)
         docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
-        results = results.join(docs, "doc_id").select("qid", "rank", "doc_id", "url", "score")
+        results = docs.join(F.broadcast(results), "doc_id").select(
+            "qid", "rank", "doc_id", "url", "score"
+        )
     return results

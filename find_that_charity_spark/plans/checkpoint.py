@@ -22,6 +22,54 @@ import uuid
 from typing import Any
 
 
+def write_format(index_dir: str) -> None:
+    """Stamp the on-disk format version (codec.FORMAT_VERSION) into
+    ``<index_dir>/format.json``. Idempotent; called at build start so even
+    an interrupted build leaves a version-stamped store."""
+    from find_that_charity_spark.functions.codec import FORMAT_VERSION
+
+    os.makedirs(index_dir, exist_ok=True)
+    path = os.path.join(index_dir, "format.json")
+    if os.path.exists(path):
+        check_format(index_dir)  # refuse to append onto an older store
+        return
+    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        json.dump({"format_version": FORMAT_VERSION}, f)
+    os.replace(tmp, path)
+
+
+def check_format(index_dir: str) -> None:
+    """Fail fast (with a rebuild hint) when ``index_dir`` was written by a
+    different on-disk format version, or predates version stamping.
+
+    A pre-v2 blob has no codec-id byte: its first varint byte (often 0x01)
+    would silently misroute decode to the PFOR path. Remote paths (scheme
+    prefix other than file:) skip the check — the stamp is a local-store
+    guard; a cluster deployment would carry it in the Iceberg table
+    properties instead."""
+    from find_that_charity_spark.functions.codec import FORMAT_VERSION
+
+    local = index_dir[7:] if index_dir.startswith("file:") else index_dir
+    if "://" in local:
+        return
+    path = os.path.join(local, "format.json")
+    if not os.path.exists(path):
+        raise RuntimeError(
+            f"index at {index_dir} has no format.json — it was written by a "
+            f"pre-versioning build whose postings layout (no codec-id byte) "
+            f"this reader cannot safely decode. Rebuild the index with "
+            f"build_index()."
+        )
+    with open(path) as f:
+        found = json.load(f).get("format_version")
+    if found != FORMAT_VERSION:
+        raise RuntimeError(
+            f"index at {index_dir} is format v{found}; this reader requires "
+            f"v{FORMAT_VERSION}. Rebuild the index with build_index()."
+        )
+
+
 class Manifest:
     def __init__(self, index_dir: str):
         self.path = os.path.join(index_dir, "manifest.jsonl")

@@ -41,7 +41,7 @@ from find_that_charity_spark.operators.build import (
 )
 from find_that_charity_spark.operators.dedup import dedup_latest_by_url
 from find_that_charity_spark.operators.doc_ids import assign_doc_ids
-from find_that_charity_spark.plans.checkpoint import Manifest
+from find_that_charity_spark.plans.checkpoint import Manifest, check_format
 from find_that_charity_spark.sources.corpus import WEB_PAGES_SCHEMA
 
 
@@ -71,30 +71,69 @@ def _append_batch(
     # skip (or overwrite) a previous stream's batches when a fresh stream
     # reuses an existing index.
     unit = f"{stream_id}:{epoch_id}"
+    check_format(index_dir)  # refuse to append onto an old-layout store
     mf = Manifest(index_dir)
     if mf.is_done("stream_batch", unit):
         return
     docs = spark.read.parquet(f"{index_dir}/docs")
-    # doc-id high-water mark from the manifest (build n_docs + appended
-    # n_new), not a per-batch max(doc_id) agg over the whole docs table
-    base_id, url_buckets = _doc_id_base(mf)
+    # doc-id high-water mark from the manifest: build n_docs + every other
+    # unit's appended/reserved count. Reservations ("stream_batch_pre",
+    # written BEFORE the docs append) keep ids collision-free even when a
+    # unit crashed between its docs append and its done mark — without
+    # them the next batch would reuse the orphaned rows' ids.
+    base_id, url_buckets = _doc_id_base(mf, exclude_unit=unit)
     if base_id is None:  # pre-r03 manifest without counts: one-time agg
         base_id = docs.agg(F.max("doc_id")).collect()[0][0] + 1
 
     deduped = dedup_latest_by_url(batch_df)
-    probe = docs.select("url")
+    probe = docs.select("url", "doc_id", "warc_ts")
+    batch_buckets: list[int] | None = None
     if url_buckets:
         # partition-pruned probe: the docs table is laid out by url hash
         # bucket, and a micro-batch touches at most min(|batch|, B)
-        # buckets — the "already indexed?" anti-join reads only those
+        # buckets — the "already indexed?" join reads only those
         bucket_col = F.pmod(F.xxhash64("url"), F.lit(url_buckets)).cast("int")
         batch_buckets = sorted(
             r[0] for r in deduped.select(bucket_col.alias("b")).distinct().collect()
         )
-        probe = docs.where(F.col("url_bucket").isin(batch_buckets)).select("url")
-    fresh = deduped.join(probe, "url", "left_anti")
+        probe = docs.where(F.col("url_bucket").isin(batch_buckets)).select(
+            "url", "doc_id", "warc_ts"
+        )
+    # LIVE row per url = newest (warc_ts, doc_id) — earlier updates leave
+    # superseded rows in the docs table until vacuum, so reduce first
+    from pyspark.sql import Window
+
+    w_url = Window.partitionBy("url").orderBy(
+        F.desc("warc_ts"), F.desc("doc_id")
+    )
+    live = (
+        probe.withColumn("rn", F.row_number().over(w_url))
+        .where(F.col("rn") == 1)
+        .select("url", F.col("warc_ts").alias("live_ts"))
+    )
+    # document updates (VERDICT r03 item 1): a re-crawl with a strictly
+    # newer warc_ts is re-indexed under a fresh doc_id; the superseded
+    # row is tombstoned below. Same-or-older re-crawls stay dropped.
+    joined = deduped.join(live, "url", "left")
+    fresh = joined.where(
+        F.col("live_ts").isNull() | (F.col("warc_ts") > F.col("live_ts"))
+    ).drop("live_ts")
     if fresh.isEmpty():
-        mf.mark_done("stream_batch", unit, n_new=0, new_len=0)
+        pre = _last_pre_counts(mf, unit)
+        if pre is not None:
+            # a prior attempt of THIS unit appended docs but crashed before
+            # its done mark (single-writer assumption — same as the base
+            # replay contract): everything landed, tombstones may not have;
+            # recompute them (monotone: dominated-once is dominated-forever)
+            n_tomb, tomb_len = _write_batch_tombstones(
+                spark, index_dir, unit, deduped, url_buckets, batch_buckets
+            )
+            mf.mark_done(
+                "stream_batch", unit, n_new=pre[0], new_len=pre[1],
+                n_tomb=n_tomb, tomb_len=tomb_len,
+            )
+        else:
+            mf.mark_done("stream_batch", unit, n_new=0, new_len=0)
         return
     tokenized = fresh.select(
         "url", "warc_ts", "lang", tokenize_udf(F.col("text")).alias("tokens")
@@ -122,6 +161,12 @@ def _append_batch(
         F.max("doc_len").alias("max_dl"),
     ).collect()[0]
     check_pack_bounds(agg["max_dl"], 0)
+    # id reservation BEFORE any write: if this attempt appends docs and
+    # crashes before its done mark, later units still see the reserved
+    # range via _doc_id_base and never collide with the orphaned rows
+    mf.mark_done(
+        "stream_batch_pre", unit, n_new=int(agg["n"]), new_len=int(agg["len"] or 0)
+    )
 
     # token-level rows in the PACKED layout _encode_group expects
     # (docdl = doc_id << 22 | dl, gkey = bucket << 32 | salt); the salt
@@ -154,33 +199,107 @@ def _append_batch(
     else:
         out_docs.write.mode("append").parquet(f"{index_dir}/docs")
 
+    # tombstone superseded rows AFTER the docs append: dominated-ness is
+    # computed from the docs table itself, so the write is replay-stable
+    n_tomb, tomb_len = _write_batch_tombstones(
+        spark, index_dir, unit, deduped, url_buckets, batch_buckets
+    )
+
     # n_new/new_len feed the manifest-only corpus_stats recompute and the
     # next batch's doc-id high-water mark (no O(index) aggs per batch)
     mf.mark_done(
-        "stream_batch", unit, n_new=int(agg["n"]), new_len=int(agg["len"] or 0)
+        "stream_batch", unit, n_new=int(agg["n"]), new_len=int(agg["len"] or 0),
+        n_tomb=n_tomb, tomb_len=tomb_len,
     )
 
 
-def _doc_id_base(mf: Manifest) -> tuple[int | None, int | None]:
+def _last_pre_counts(mf: Manifest, unit: str) -> tuple[int, int] | None:
+    """(n_new, new_len) of the LAST id reservation for ``unit``, or None.
+    The last one belongs to the attempt that made it furthest."""
+    found = None
+    for e in mf.entries():
+        if e.get("stage") == "stream_batch_pre" and e.get("unit") == unit:
+            found = (int(e.get("n_new", 0)), int(e.get("new_len", 0)))
+    return found
+
+
+def _write_batch_tombstones(
+    spark: SparkSession,
+    index_dir: str,
+    unit: str,
+    batch_urls: DataFrame,
+    url_buckets: int | None,
+    batch_buckets: list[int] | None,
+) -> tuple[int, int]:
+    """Overwrite ``tombstones/unit=<unit>`` with every docs row for a
+    batch url that is strictly dominated by a newer row for the same url
+    (ordering (warc_ts, doc_id) — the row that lost an update).
+
+    Replay-stable by monotonicity: once dominated, always dominated, so a
+    rerun writes a superset of what the crashed attempt wrote and the
+    union across units stays exactly the superseded set. Units may overlap
+    (a replay re-lists rows another unit also tombstoned); readers dedup
+    (query.read_tombstones / refresh_stats). Returns (rows, doc_len sum)
+    of this unit's content."""
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    if batch_buckets is not None:
+        docs = docs.where(F.col("url_bucket").isin(batch_buckets))
+    scoped = docs.join(
+        F.broadcast(batch_urls.select("url").distinct()), "url", "left_semi"
+    ).select("url", "doc_id", "warc_ts", "doc_len")
+    w_url = Window.partitionBy("url").orderBy(F.desc("warc_ts"), F.desc("doc_id"))
+    dominated = (
+        scoped.withColumn("rn", F.row_number().over(w_url))
+        .where(F.col("rn") > 1)
+        .select("doc_id", "doc_len")
+    )
+    agg = dominated.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("len")
+    ).collect()[0]
+    n_tomb = int(agg["n"])
+    if n_tomb == 0:
+        return 0, 0
+    unit_dir = f"{index_dir}/tombstones/unit={unit.replace(':', '_')}"
+    dominated.coalesce(1).write.mode("overwrite").parquet(unit_dir)
+    return n_tomb, int(agg["len"] or 0)
+
+
+def _doc_id_base(mf: Manifest, exclude_unit: str | None = None) -> tuple[int | None, int | None]:
     """Next doc_id + docs url-bucket count from the manifest alone.
+
+    Sums, per unit, the committed count (``stream_batch``) or — for a unit
+    that reserved ids but never committed (crash between its docs append
+    and its done mark) — the reservation (``stream_batch_pre``). Ids need
+    not be contiguous, only unique and growing, so counting a reservation
+    that never landed merely skips a range. ``exclude_unit`` leaves the
+    CURRENT unit's own reservation out: its replay recomputes from the
+    same base its ids would otherwise shift under.
 
     Returns (None, url_buckets) when any entry predates the counters —
     the caller then falls back to one max(doc_id) aggregation."""
     base = None
     url_buckets = None
-    n_streamed = 0
-    counts_ok = True
+    committed: dict[str, int | None] = {}
+    reserved: dict[str, int] = {}
     for e in mf.entries():
-        if e.get("stage") == "docs" and e.get("status") == "done":
+        stage = e.get("stage")
+        if stage == "docs" and e.get("status") == "done":
             base = e.get("n_docs")
             url_buckets = e.get("url_buckets")
-        elif e.get("stage") == "stream_batch" and e.get("status") == "done":
-            if e.get("n_new") is None:
-                counts_ok = False
-            else:
-                n_streamed += int(e["n_new"])
-    if base is None or not counts_ok:
+        elif stage == "stream_batch" and e.get("status") == "done":
+            n = e.get("n_new")
+            committed[str(e.get("unit", ""))] = None if n is None else int(n)
+        elif stage == "stream_batch_pre" and e.get("status") == "done":
+            reserved[str(e.get("unit", ""))] = int(e.get("n_new", 0))
+    if base is None or any(v is None for v in committed.values()):
         return None, url_buckets
+    n_streamed = 0
+    for u in committed.keys() | reserved.keys():
+        if u == exclude_unit:
+            continue
+        n_streamed += committed[u] if u in committed else reserved[u]
     return int(base) + n_streamed, url_buckets
 
 
@@ -230,32 +349,54 @@ def refresh_stats(spark: SparkSession, index_dir: str) -> None:
 
     mf = Manifest(index_dir)
     entries = mf.entries()
-    docs_e = next(
-        (e for e in entries if e.get("stage") == "docs" and e.get("status") == "done"),
-        None,
-    )
-    batches = [
-        e
-        for e in entries
-        if e.get("stage") == "stream_batch" and e.get("status") == "done"
-    ]
+    # the LAST baseline wins: a vacuum entry restates (n_docs, total_len)
+    # for the physically-rewritten store and resets the per-batch deltas
+    # accumulated before it (their rows are either folded into the new
+    # baseline or were tombstoned and dropped)
+    docs_e = None
+    batches: list[dict] = []
+    for e in entries:
+        if e.get("status") != "done":
+            continue
+        if e.get("stage") in ("docs", "vacuum"):
+            docs_e = e
+            batches = []
+        elif e.get("stage") == "stream_batch":
+            batches.append(e)
 
     # ---- corpus_stats --------------------------------------------------
+    # live corpus = baseline + appends - superseded (tombstoned) rows; the
+    # tombstone agg is O(updates since vacuum), not O(index)
     counts_ok = (
         docs_e is not None
         and docs_e.get("n_docs") is not None
         and docs_e.get("total_len") is not None
         and all(e.get("n_new") is not None and e.get("new_len") is not None for e in batches)
     )
+    tomb_path = f"{index_dir}/tombstones"
+    has_tomb = os.path.exists(tomb_path)
     if counts_ok:
         n_docs = int(docs_e["n_docs"]) + sum(int(e["n_new"]) for e in batches)
         total_len = int(docs_e["total_len"]) + sum(int(e["new_len"]) for e in batches)
+        if has_tomb:
+            t = (
+                spark.read.parquet(tomb_path)
+                .select("doc_id", "doc_len")
+                .dropDuplicates(["doc_id"])  # units may overlap after replay
+                .agg(F.count(F.lit(1)).alias("n"), F.sum("doc_len").alias("len"))
+                .collect()[0]
+            )
+            n_docs -= int(t["n"])
+            total_len -= int(t["len"] or 0)
         stats = spark.createDataFrame(
             [(n_docs, total_len, total_len / max(n_docs, 1))],
             "n_docs long, total_len long, avgdl double",
         )
     else:
         docs = spark.read.parquet(f"{index_dir}/docs")
+        if has_tomb:
+            tomb_ids = spark.read.parquet(tomb_path).select("doc_id").distinct()
+            docs = docs.join(F.broadcast(tomb_ids), "doc_id", "left_anti")
         stats = docs.agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("doc_len").cast("long").alias("total_len"),
@@ -376,7 +517,8 @@ def incremental_refresh(
 
     ``block_codec`` may differ from the base index's codec: blobs are
     self-describing (functions/codec.py), so a varint base accepting
-    pfor appends is a supported mixed store (tests/test_streaming.py)."""
+    pfor appends is a supported mixed store
+    (tests/test_pfor_integration.py::test_mixed_codec_streaming_appends)."""
     import hashlib
 
     checkpoint = checkpoint_dir or f"{index_dir}/_stream_checkpoint"

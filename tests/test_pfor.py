@@ -99,3 +99,71 @@ def test_cross_codec_postings_equality(rows):
     out_p = decode_postings(b_p, m_p)
     for a, b in zip(out_v, out_p):
         assert np.array_equal(a, b)
+
+def test_chunked_encode_identity_under_cap():
+    """<=65535 values: chunked encode is byte-identical to single-stream —
+    stores written before chunking existed stay readable."""
+    from find_that_charity_spark.functions.pfor import pfor_decode_n, pfor_encode_chunked
+
+    rng = np.random.default_rng(13)
+    arr = (rng.zipf(1.5, 5000) % 1000).astype(np.uint64)
+    assert pfor_encode_chunked(arr) == pfor_encode(arr)
+    vals, used = pfor_decode_n(np.frombuffer(pfor_encode_chunked(arr), dtype=np.uint8), arr.size)
+    assert used == len(pfor_encode(arr))
+    assert vals.tolist() == arr.tolist()
+
+
+def test_chunked_roundtrip_over_cap():
+    """>65535 values round-trip through back-to-back streams."""
+    from find_that_charity_spark.functions.pfor import pfor_decode_n, pfor_encode_chunked
+
+    rng = np.random.default_rng(17)
+    arr = (rng.zipf(1.4, 200_000) % 5000).astype(np.uint64)
+    blob = pfor_encode_chunked(arr)
+    data = np.frombuffer(blob, dtype=np.uint8)
+    vals, used = pfor_decode_n(data, arr.size)
+    assert used == len(blob)
+    assert vals.tolist() == arr.tolist()
+
+
+def test_positions_stream_over_uint16_cap():
+    """ADVICE r03 (medium): 128 postings x tf=600 = 76,800 positions per
+    block — over pfor's uint16 per-stream cap. Build + decode must work
+    under codec='pfor' with positions=True (the driver-gate setting)."""
+    from find_that_charity_spark.functions.codec import decode_postings, encode_postings
+
+    n = 128
+    tf = 600
+    docs = np.arange(1, n + 1, dtype=np.int64) * 3
+    tfs = np.full(n, tf, dtype=np.int64)
+    dls = np.full(n, tf * 2, dtype=np.int64)
+    rng = np.random.default_rng(19)
+    # ascending positions per posting: cumsum of positive gaps per row
+    pos = np.cumsum(rng.integers(1, 5, size=(n, tf)), axis=1).reshape(-1).astype(np.int64)
+    for codec in ("varint", "pfor"):
+        blob, bm = encode_postings(docs, tfs, dls, positions_flat=pos, codec=codec)
+        d, t, l, p = decode_postings(blob, bm, with_positions=True)
+        assert np.array_equal(d, docs)
+        assert np.array_equal(t, tfs)
+        assert np.array_equal(l, dls)
+        assert np.array_equal(p, pos)
+
+
+@given(
+    st.integers(min_value=1, max_value=128),
+    st.integers(min_value=400, max_value=900),
+)
+@settings(max_examples=10, deadline=None)
+def test_positions_large_tf_property(n, tf):
+    """Property form of the uint16-cap fix: any (n, tf) with n*tf possibly
+    exceeding 65535 round-trips under both codecs."""
+    from find_that_charity_spark.functions.codec import decode_postings, encode_postings
+
+    docs = np.arange(1, n + 1, dtype=np.int64)
+    tfs = np.full(n, tf, dtype=np.int64)
+    dls = tfs * 2
+    pos = np.tile(np.arange(tf, dtype=np.int64) * 2 + 1, n)
+    for codec in ("varint", "pfor"):
+        blob, bm = encode_postings(docs, tfs, dls, positions_flat=pos, codec=codec)
+        out = decode_postings(blob, bm, with_positions=True)
+        assert np.array_equal(out[3], pos)
