@@ -88,3 +88,67 @@ def test_wand_query_throughput(benchmark, postings):
 
     out = benchmark(run)
     assert len(out) == 10
+
+
+# ---------------------------------------------------------------------------
+# dedup signature kernels (VERDICT r03 item 3).
+#
+# Measured context (BENCH/R04_NOTES.md): the r03 Arrow kernel's per-shingle
+# hashlib.md5 was ~1.8 us — already near C-floor — so the verdict's >=10x
+# hypothesis does not survive measurement: interleaved medians at 100k docs
+# / 6.5M shingles, local[4] put the END-TO-END signature stage at
+#   r03 arrow 9.4 s | relational md5 8.6 s (1.1x) | relational xxhash
+#   4.5 s (2.1x)
+# because tokenization, the shingle explode and Spark per-row overhead — all
+# shared — dominate. What the rewrite DOES deliver: zero Python in the
+# default path (relational md5: whole-stage codegen + map-side partial agg,
+# no Arrow transfer, no per-doc loop), a scale flavor whose per-shingle HASH
+# cost is ~30x cheaper (xxhash64 + mod-p polynomial vs md5-of-string), and
+# signatures bit-identical to the DuckDB oracle in the md5 flavors.
+# ---------------------------------------------------------------------------
+
+
+def test_relational_xxhash_beats_arrow_kernel():
+    """Interleaved A/B: the xxhash scale flavor must clear 1.5x over the
+    r03 Arrow kernel end-to-end (it measures ~2x; 1.5 leaves host-noise
+    margin — see memory: this sandbox shows 2-6x wall swings)."""
+    import statistics
+    import time
+
+    from pyspark.sql import functions as F
+
+    from find_that_charity_spark.functions.analyzer import tokenize_expr
+    from find_that_charity_spark.operators.dedup import (
+        minhash_signature_udf,
+        minhash_signatures,
+    )
+    from find_that_charity_spark.session import get_spark
+    from find_that_charity_spark.sources.corpus import WEB_PAGES_SCHEMA
+    from find_that_charity_spark.sources.synth import synth_web_pages
+
+    spark = get_spark(master="local[4]", app_name="sig-bench", shuffle_partitions=8)
+    pages = synth_web_pages(30_000)
+    df = (
+        spark.createDataFrame(pages, WEB_PAGES_SCHEMA)
+        .select(F.monotonically_increasing_id().alias("id"), "text")
+        .localCheckpoint()
+    )
+    df.count()
+    udf = minhash_signature_udf(64, 3)
+    runs = {
+        "arrow": lambda: df.select("id", udf(tokenize_expr("text")).alias("sig"))
+        .write.format("noop").mode("overwrite").save(),
+        "xx": lambda: minhash_signatures(df, "id", "text", hash_fn="xxhash64")
+        .write.format("noop").mode("overwrite").save(),
+    }
+    for fn in runs.values():
+        fn()  # warm
+    samples: dict[str, list[float]] = {k: [] for k in runs}
+    for _ in range(3):  # interleaved: both arms sample the same noise regime
+        for name, fn in runs.items():
+            t0 = time.perf_counter()
+            fn()
+            samples[name].append(time.perf_counter() - t0)
+    speedup = statistics.median(samples["arrow"]) / statistics.median(samples["xx"])
+    print(f"\nsignature A/B: arrow={samples['arrow']} xx={samples['xx']} -> {speedup:.2f}x")
+    assert speedup >= 1.5, f"only {speedup:.2f}x"
