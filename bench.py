@@ -92,13 +92,26 @@ def engine_bench(spark) -> dict:
 
     searcher = IndexSearcher(spark, idx)
     rows = qdf.collect()
-    lat = []
-    for r in rows:  # all 50 reference queries: p99 means something
-        t = time.perf_counter()
-        searcher.search(r["text"], k=int(r["k"]), mode=r["mode"])
-        lat.append((time.perf_counter() - t) * 1000)
+    # two full sweeps: sweep 1 pays each distinct plan shape's codegen
+    # once (its tail is warmup, not the engine), sweep 2 is the
+    # steady-state a warm service serves — the reported p50/p99
+    # (VERDICT r03 item 5: the r03 p99 mixed the two regimes). Per-mode
+    # percentiles + the worst query are recorded for attribution.
+    sweeps: list[list[tuple[str, str, float]]] = []
+    for _ in range(2):
+        lat = []
+        for r in rows:  # all 50 reference queries: p99 means something
+            t = time.perf_counter()
+            searcher.search(r["text"], k=int(r["k"]), mode=r["mode"])
+            lat.append((r["qid"], r["mode"], (time.perf_counter() - t) * 1000))
+        sweeps.append(lat)
     searcher.close()
-    lat_a = np.array(lat)
+    steady = sweeps[1]
+    lat_a = np.array([ms for _, _, ms in steady])
+    by_mode: dict[str, list[float]] = {}
+    for _, mode, ms in steady:
+        by_mode.setdefault(mode, []).append(ms)
+    worst = max(steady, key=lambda x: x[2])
     return {
         "build_n_docs": metrics["n_docs"],
         "build_wall_s": round(build_wall, 3),
@@ -106,6 +119,14 @@ def engine_bench(spark) -> dict:
         "query_batch50_wall_s": round(batch_wall, 3),
         "query_p50_ms": round(float(np.percentile(lat_a, 50)), 1),
         "query_p99_ms": round(float(np.percentile(lat_a, 99)), 1),
+        "query_p99_ms_sweep1": round(
+            float(np.percentile(np.array([ms for _, _, ms in sweeps[0]]), 99)), 1
+        ),
+        "query_p50_by_mode": {
+            m: round(float(np.percentile(np.array(v), 50)), 1)
+            for m, v in sorted(by_mode.items())
+        },
+        "query_worst": {"qid": worst[0], "mode": worst[1], "ms": round(worst[2], 1)},
     }
 
 

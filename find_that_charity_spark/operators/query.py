@@ -680,11 +680,38 @@ class IndexSearcher:
         return [(r["rank"], r["doc_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
 
     def _expand_fuzzy(self, qterms: list[str]) -> set[str]:
-        """Edit-distance-1 expansion via the fuzzy_keys deletion index
-        (pushed IN-list scan) with a scalar verify; falls back to a
-        filter over the memory-pinned dictionary for older indexes."""
+        """Edit-distance-1 expansion with ZERO Spark jobs when the
+        dictionary is memory-pinned (VERDICT r03 item 6): generate the
+        query term's full edit-1 neighborhood over the analyzer alphabet
+        ([a-z0-9] — ~73*len+36 strings) and probe the driver-side term
+        map directly (SymSpell's generate-and-test dual). Keeps the warm
+        fuzzy query at one Spark job total, like every other warm mode.
+
+        Falls back to the fuzzy_keys deletion index (pushed IN-list scan,
+        one extra job) for web-scale dictionaries that exceed the pin."""
         from find_that_charity_spark.functions.fuzzy import deletion_keys, within_edit1
 
+        if self._term_map is not None:
+            alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+            out: set[str] = set()
+            for t in qterms:
+                if t in self._term_map:
+                    out.add(t)
+                for i in range(len(t)):  # deletions
+                    c = t[:i] + t[i + 1 :]
+                    if c and c in self._term_map:
+                        out.add(c)
+                for i in range(len(t)):  # substitutions
+                    for ch in alphabet:
+                        c = t[:i] + ch + t[i + 1 :]
+                        if c in self._term_map:
+                            out.add(c)
+                for i in range(len(t) + 1):  # insertions
+                    for ch in alphabet:
+                        c = t[:i] + ch + t[i:]
+                        if c in self._term_map:
+                            out.add(c)
+            return out
         keys = sorted({key for t in qterms for key in deletion_keys(t)})
         try:
             cand = (
@@ -713,6 +740,145 @@ class IndexSearcher:
         self.dictionary.unpersist()
 
 
+# matched-terms relation schema (shared by the distributed lineage and the
+# driver-side small-batch analyzer)
+_MATCHED_SCHEMA = (
+    "qid string, k int, mode string, neg boolean, q_offsets array<int>, "
+    "term string, df_global long, bucket int, n_required long"
+)
+
+
+def _analyze_batch_driver(
+    spark: SparkSession,
+    index_dir: str,
+    dictionary: DataFrame,
+    qrows: list,
+) -> list[tuple]:
+    """Driver-side twin of the distributed query-analysis lineage for
+    SMALL batches (VERDICT r03 item 8): the tokenize-UDF + explode +
+    groupBy + dictionary-join dataflow costs a dozen AQE stage-jobs per
+    batch, which dominates small-batch latency. Here the analysis is
+    plain Python (the same pinned analyzers) and the dictionary lookup is
+    ONE pushed IN-list probe job (+ one fuzzy_keys probe when the batch
+    has fuzzy queries). Semantics are identical: same neg-wins rule, same
+    n_required accounting, same fuzzy edit-1 expansion contract; the
+    batched path equality is pinned by tests/test_index_query.py and the
+    driver gates."""
+    from find_that_charity_spark.functions.analyzer import analyze, analyze_name
+    from find_that_charity_spark.functions.fuzzy import deletion_keys, within_edit1
+
+    parsed = []  # (qid, k, mode, {term: (neg, q_offsets)}, n_required)
+    fuzzy_qs: list[tuple[str, int, list[str]]] = []
+    for r in qrows:
+        qid, text = r["qid"], r["text"] or ""
+        k, mode = int(r["k"]), r["mode"]
+        if mode == "fuzzy":
+            fuzzy_qs.append((qid, k, sorted(set(analyze_name(text)))))
+            continue
+        if mode == "phrase":
+            toks = analyze(text)
+            offs: dict[str, list[int]] = {}
+            for i, t in enumerate(toks):
+                offs.setdefault(t, []).append(i)
+            terms = {t: (False, sorted(o)) for t, o in offs.items()}
+        else:
+            qa = analyze_name if mode == "recon" else analyze
+            terms = {}
+            for word in text.split():
+                if not word:
+                    continue
+                neg = word.startswith("-")
+                for t in qa(word.lstrip("-")):
+                    prev = terms.get(t)
+                    # a term both included and negated -> negated (max(neg))
+                    terms[t] = (neg or (prev is not None and prev[0]), None)
+        n_required = sum(1 for neg, _ in terms.values() if not neg)
+        parsed.append((qid, k, mode, terms, n_required))
+
+    # fuzzy expansion: deletion-key probe (pushed IN-list) + exact verify,
+    # exactly the distributed path's contract; falls back to a levenshtein
+    # filter over the dictionary for indexes without fuzzy_keys
+    fuzzy_expanded: list[tuple[str, int, str]] = []  # (qid, k, term)
+    if fuzzy_qs:
+        all_keys = sorted(
+            {key for _, _, qts in fuzzy_qs for t in qts for key in deletion_keys(t)}
+        )
+        try:
+            cand = [
+                r["term"]
+                for r in spark.read.parquet(f"{index_dir}/fuzzy_keys")
+                .where(F.col("key").isin(all_keys))
+                .select("term")
+                .distinct()
+                .collect()
+            ]
+        except Exception:
+            all_q = sorted({t for _, _, qts in fuzzy_qs for t in qts})
+            from functools import reduce
+
+            conds = [
+                (F.abs(F.length("term") - len(t)) <= 1)
+                & (F.levenshtein(F.col("term"), F.lit(t)) <= 1)
+                for t in all_q
+            ]
+            cand = [
+                r["term"]
+                for r in dictionary.where(reduce(lambda a, b: a | b, conds))
+                .select("term")
+                .distinct()
+                .collect()
+            ]
+        for qid, k, qts in fuzzy_qs:
+            seen = set()
+            for term in cand:
+                if term not in seen and any(within_edit1(term, t) for t in qts):
+                    seen.add(term)
+                    fuzzy_expanded.append((qid, k, term))
+
+    probe_terms = sorted(
+        {t for _, _, _, terms, _ in parsed for t in terms}
+        | {t for _, _, t in fuzzy_expanded}
+    )
+    if not probe_terms:
+        return []
+    by_term = {
+        r["term"]: (int(r["df"]), int(r["bucket"]))
+        for r in dictionary.where(F.col("term").isin(probe_terms)).collect()
+    }
+    rows: list[tuple] = []
+    for qid, k, mode, terms, n_required in parsed:
+        for t in sorted(terms):
+            if t in by_term:
+                neg, offs = terms[t]
+                df, bucket = by_term[t]
+                rows.append((qid, k, mode, neg, offs, t, df, bucket, n_required))
+    for qid, k, t in fuzzy_expanded:
+        if t in by_term:
+            df, bucket = by_term[t]
+            rows.append((qid, k, "fuzzy", False, None, t, df, bucket, None))
+    return rows
+
+
+def take_wide(df: DataFrame, n: int) -> list:
+    """take(n) in ONE job round: CollectLimit's incremental strategy
+    (1 partition, then scale up) costs several sequential job rounds —
+    measured 1.1 s vs 0.36 s for a 1-row relation at local[32]. Scoping
+    ``spark.sql.limit.initialNumPartitions`` to the session's parallelism
+    runs every partition in the first round; LocalLimit still caps each
+    task's output at n rows, so a huge source stays bounded."""
+    spark = df.sparkSession
+    key = "spark.sql.limit.initialNumPartitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(max(spark.sparkContext.defaultParallelism, 1)))
+    try:
+        return df.take(n)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def run_queries(
     spark: SparkSession,
     index_dir: str,
@@ -721,11 +887,19 @@ def run_queries(
     join_urls: bool = False,
     doc_shards: int | None = None,
     localize_threshold: int = 10_000,
+    exclude_doc_ids: "np.ndarray | None" = None,
 ) -> DataFrame:
     """Answer a batch of queries (qid, text, k, mode) against the index.
 
     Returns (qid, rank, doc_id, score[, url]) — deterministic order within
     qid by (score DESC, doc_id ASC).
+
+    ``exclude_doc_ids`` (sorted int64, optional): docs barred from every
+    query in the batch WITHOUT affecting scoring stats — ES filter-context
+    semantics, the Recon API type/properties hook (operators/recon.py).
+    Rides the tombstone exclusion broadcast; applied before top-k
+    selection in every scoring path, so results are the exact top-k of
+    the allowed set.
 
     ``doc_shards``: when set, each query is scored in S parallel doc-range
     shards (every term's postings for a doc live in the same range, so
@@ -736,9 +910,32 @@ def run_queries(
     """
     n_docs, avgdl = load_stats(spark, index_dir)
     tomb = read_tombstones(spark, index_dir)
+    if exclude_doc_ids is not None and len(exclude_doc_ids):
+        tomb = np.union1d(tomb, np.asarray(exclude_doc_ids, dtype=np.int64))
     # one broadcast per batch: the (small, vacuum-bounded) tombstone set
     # ships once per executor, not once per scorer task closure
     tomb_bc = spark.sparkContext.broadcast(tomb) if tomb.size else None
+    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+
+    # SMALL batches take the driver-side analysis shortcut: plain-Python
+    # analyzers + ONE pushed IN-list dictionary probe replace the dozen
+    # AQE stage-jobs of the distributed tokenize/groupBy/join lineage
+    # (VERDICT r03 item 8 — measured 28 jobs -> 5 per batch). Batch size
+    # is probed with an early-terminating take(threshold + 1), cheap for
+    # any source; the rows are then already in hand for the small case.
+    qrows = take_wide(queries_df, localize_threshold + 1)
+    n_queries = len(qrows)
+    if n_queries <= localize_threshold:
+        matched_rows = _analyze_batch_driver(spark, index_dir, dictionary, qrows)
+        if not matched_rows:
+            return spark.createDataFrame([], RESULTS_SCHEMA)
+        matched_local = spark.createDataFrame(matched_rows, _MATCHED_SCHEMA)
+        buckets = sorted({r[7] for r in matched_rows})
+        return _score_matched(
+            spark, index_dir, F.broadcast(matched_local.drop("bucket")),
+            buckets, matched_local, n_docs, avgdl, use_bmw, tomb_bc,
+            doc_shards, join_urls,
+        )
 
     # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
     # mode 'bool_and' makes every positive term required (conjunctive);
@@ -799,18 +996,11 @@ def run_queries(
         "qid", "term", "k", "mode", "neg", "q_offsets"
     ).unionByName(phrase_terms.select("qid", "term", "k", "mode", "neg", "q_offsets"))
 
-    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
     # D2: the query-term set is tiny — broadcast it against the dictionary
     matched = dictionary.join(F.broadcast(qterms), "term").select(
         "qid", "k", "mode", "neg", "q_offsets", "term",
         F.col("df").alias("df_global"), "bucket",
     )
-    # batch size decides driver-side vs distributed handling below; for
-    # driver-local batches the check costs no Spark job
-    if queries_df.isLocal():
-        n_queries = len(queries_df.take(localize_threshold + 1))
-    else:
-        n_queries = queries_df.count()
 
     # mode 'fuzzy' (ES fuzziness=1 analog, typo-tolerant reconciliation):
     # expand each query term to every dictionary term within edit
@@ -818,10 +1008,8 @@ def run_queries(
     # its own idf. The expansion is a deletion-neighborhood EQUI-join
     # (functions/fuzzy.py); the exact levenshtein check runs only on the
     # key-matched candidates — never a scan-wide levenshtein over the
-    # dictionary. Small batches collect their (tiny, |qterms|*(len+1))
-    # key set and push it into the fuzzy_keys scan as an IN-list; big
-    # batches stay fully distributed (keys via the same JVM expression,
-    # shuffle join on key).
+    # dictionary. (Small batches never reach here — the driver shortcut
+    # above pushes their key set into the fuzzy_keys scan as an IN-list.)
     from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
 
     try:  # build-time deletion index (df-free: key -> term only)
@@ -833,71 +1021,42 @@ def run_queries(
             "term",
             F.explode(deletion_keys_expr("term")).alias("key"),
         )
-    fuzzy_keys_df = None
-    if n_queries <= localize_threshold:
-        fuzzy_rows = (
-            queries_df.where(F.col("mode") == "fuzzy")
-            .select("qid", F.col("k").cast("int").alias("k"), "text")
-            .collect()
-        )
-        if fuzzy_rows:
-            from find_that_charity_spark.functions.analyzer import analyze_name
-            from find_that_charity_spark.functions.fuzzy import deletion_keys
-
-            fq_pairs = [
-                (r["qid"], int(r["k"]), t, key)
-                for r in fuzzy_rows
-                for t in sorted(set(analyze_name(r["text"])))
-                for key in deletion_keys(t)
-            ]
-            if fq_pairs:
-                fq_keys = spark.createDataFrame(
-                    fq_pairs, "qid string, k int, qterm string, key string"
-                )
-                all_keys = sorted({p[3] for p in fq_pairs})
-                # pushed IN-list: the scan reads only matching keys
-                fuzzy_keys_df = F.broadcast(fq_keys)
-                cand_terms = cand_terms.where(F.col("key").isin(all_keys))
-    else:
-        fq = (
-            queries_df.where(F.col("mode") == "fuzzy")
-            .select(
-                "qid",
-                F.col("k").cast("int").alias("k"),
-                F.explode(tokenize_name_udf("text")).alias("qterm"),
-            )
-            .dropDuplicates(["qid", "qterm"])
-        )
-        fuzzy_keys_df = fq.select(
-            "qid", "k", "qterm", F.explode(deletion_keys_expr("qterm")).alias("key")
-        )
-    if fuzzy_keys_df is not None:
-        # accepted expansions carry only (qid, k, term); fresh (df, bucket)
-        # come from the LIVE dictionary below — fuzzy_keys stores no stats,
-        # so streaming refresh can append new-term keys without rewriting
-        # the table (stale-df correctness hazard removed by construction)
-        fuzzy_hits = (
-            cand_terms.join(fuzzy_keys_df, "key")
-            .where(
-                (F.abs(F.length("term") - F.length("qterm")) <= 1)
-                & (F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
-            )
-            .select("qid", "k", "term")
-            .dropDuplicates(["qid", "term"])
-        )
-        if n_queries <= localize_threshold:
-            fuzzy_hits = F.broadcast(fuzzy_hits)
-        fuzzy_matched = dictionary.join(fuzzy_hits, "term").select(
+    fq = (
+        queries_df.where(F.col("mode") == "fuzzy")
+        .select(
             "qid",
-            "k",
-            F.lit("fuzzy").alias("mode"),
-            F.lit(False).alias("neg"),
-            F.lit(None).cast("array<int>").alias("q_offsets"),
-            "term",
-            F.col("df").alias("df_global"),
-            "bucket",
+            F.col("k").cast("int").alias("k"),
+            F.explode(tokenize_name_udf("text")).alias("qterm"),
         )
-        matched = matched.unionByName(fuzzy_matched)
+        .dropDuplicates(["qid", "qterm"])
+    )
+    fuzzy_keys_df = fq.select(
+        "qid", "k", "qterm", F.explode(deletion_keys_expr("qterm")).alias("key")
+    )
+    # accepted expansions carry only (qid, k, term); fresh (df, bucket)
+    # come from the LIVE dictionary below — fuzzy_keys stores no stats,
+    # so streaming refresh can append new-term keys without rewriting
+    # the table (stale-df correctness hazard removed by construction)
+    fuzzy_hits = (
+        cand_terms.join(fuzzy_keys_df, "key")
+        .where(
+            (F.abs(F.length("term") - F.length("qterm")) <= 1)
+            & (F.levenshtein(F.col("term"), F.col("qterm")) <= 1)
+        )
+        .select("qid", "k", "term")
+        .dropDuplicates(["qid", "term"])
+    )
+    fuzzy_matched = dictionary.join(fuzzy_hits, "term").select(
+        "qid",
+        "k",
+        F.lit("fuzzy").alias("mode"),
+        F.lit(False).alias("neg"),
+        F.lit(None).cast("array<int>").alias("q_offsets"),
+        "term",
+        F.col("df").alias("df_global"),
+        "bucket",
+    )
+    matched = matched.unionByName(fuzzy_matched)
     # conjunctive semantics: a required term absent from the dictionary
     # means zero results for that query — track required-term counts so the
     # scorer can detect the short-fall (the join above drops missing terms)
@@ -908,34 +1067,45 @@ def run_queries(
     )
     matched = matched.join(F.broadcast(required), "qid", "left")
 
-    # materialize the (tiny) matched-term set once: the scoring job then
-    # joins a literal local relation instead of re-executing the analyze
-    # UDF + dictionary-join lineage a second time (measured ~25% faster
-    # per batch). Size-guarded: a huge query batch (|queries| x |terms|
-    # beyond driver comfort) keeps the matched set distributed instead —
-    # bucket pruning survives via a distinct-buckets collect (bounded by
-    # num_buckets), and the segments join falls back to a shuffle join.
-    if n_queries <= localize_threshold:
-        matched_rows = matched.collect()
-        if not matched_rows:
-            return spark.createDataFrame([], RESULTS_SCHEMA)
-        buckets = sorted({r["bucket"] for r in matched_rows})
-        matched_local = spark.createDataFrame(matched_rows, matched.schema)
-        matched_side = F.broadcast(matched_local.drop("bucket"))
-    else:
-        # localCheckpoint (eager): materializes once (the buckets collect
-        # below + the scoring join both read it), truncates the analyze-UDF
-        # lineage, and is reclaimed by the ContextCleaner when the returned
-        # DataFrame is dropped — unlike persist(), which this long-lived
-        # function could never safely unpersist.
-        matched = matched.localCheckpoint()
-        buckets = sorted(
-            r["bucket"] for r in matched.select("bucket").distinct().collect()
-        )
-        if not buckets:
-            return spark.createDataFrame([], RESULTS_SCHEMA)
-        matched_side = matched.drop("bucket")
+    # a huge query batch (|queries| x |terms| beyond driver comfort) keeps
+    # the matched set distributed — bucket pruning survives via a
+    # distinct-buckets collect (bounded by num_buckets), and the segments
+    # join falls back to a shuffle join. localCheckpoint (eager):
+    # materializes once (the buckets collect below + the scoring join both
+    # read it), truncates the analyze-UDF lineage, and is reclaimed by the
+    # ContextCleaner when the returned DataFrame is dropped — unlike
+    # persist(), which this long-lived function could never safely
+    # unpersist.
+    matched = matched.localCheckpoint()
+    buckets = sorted(
+        r["bucket"] for r in matched.select("bucket").distinct().collect()
+    )
+    if not buckets:
+        return spark.createDataFrame([], RESULTS_SCHEMA)
+    matched_side = matched.drop("bucket")
 
+    return _score_matched(
+        spark, index_dir, matched_side, buckets, matched,
+        n_docs, avgdl, use_bmw, tomb_bc, doc_shards, join_urls,
+    )
+
+
+def _score_matched(
+    spark: SparkSession,
+    index_dir: str,
+    matched_side: DataFrame,
+    buckets: list[int],
+    qk_src: DataFrame,
+    n_docs: int,
+    avgdl: float,
+    use_bmw: bool,
+    tomb_bc,
+    doc_shards: int | None,
+    join_urls: bool,
+) -> DataFrame:
+    """Scoring tail shared by the distributed and driver-side analysis
+    paths: pruned segment scan -> broadcast matched-term join -> per-qid
+    (or per-shard) scorer -> optional url join-back."""
     # D3: bucket IN-list reaches the parquet scan as a partition filter
     segments = spark.read.parquet(f"{index_dir}/segments").where(
         F.col("bucket").isin(buckets)
@@ -970,7 +1140,7 @@ def run_queries(
         )
         partial = sharded.groupBy("qid", "shard").applyInPandas(scorer, RESULTS_SCHEMA)
         w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("doc_id"))
-        qk = (matched_local if n_queries <= localize_threshold else matched).select("qid", "k")
+        qk = qk_src.select("qid", "k")
         results = (
             partial.join(
                 F.broadcast(qk.dropDuplicates(["qid"])), "qid"

@@ -86,6 +86,17 @@ def main() -> None:
         explain_str(res),
     ))
 
+    # 3b. D6 join-back: broadcast of the top-k results side is GUARANTEED
+    res_urls = run_queries(spark, f"{work}/idx", qdf, join_urls=True)
+    sections.append((
+        "Result url join-back (D6)",
+        "docs JOIN broadcast(top-k results): the qids x k result side must "
+        "arrive via BroadcastHashJoin (explicit F.broadcast — VERDICT r03 "
+        "item 7, not left to AQE's runtime choice); the corpus-sized docs "
+        "table is never shuffled for the join-back.",
+        explain_str(res_urls),
+    ))
+
     # 4. fuzzy deletion-key expansion: pushed IN-list + hash join (no NLJ)
     from find_that_charity_spark.functions.fuzzy import deletion_keys
 

@@ -145,3 +145,37 @@ def test_recon_queries_find_planted_entities(index, spark, oracle_corpus):
     got = run_queries(spark, index["index"], qdf).toPandas()
     # every recon query must return results (entities are planted)
     assert set(got["qid"]) == set(recon["qid"])
+
+
+def test_driver_and_distributed_analysis_agree(spark, tmp_path, index):
+    """run_queries' small-batch driver-side analysis (VERDICT r03 item 8)
+    must equal the distributed lineage on every mode — the big-batch path
+    is forced with localize_threshold=0."""
+    from find_that_charity_spark.operators.query import run_queries
+
+    cases = [
+        ("q0", "charitable trust", 10, "freetext"),
+        ("q1", "acme w0001", 10, "freetext"),
+        ("q2", "w0001 -w0002", 10, "freetext"),
+        ("q3", "charitable trust", 10, "bool_and"),
+        ("q5", "charitible", 10, "fuzzy"),
+        ("q6", "ACME Charitable-Trust", 10, "recon"),
+        ("q7", "zzznothing", 10, "freetext"),
+    ]
+    schema = "qid string, text string, k int, mode string"
+    qdf = spark.createDataFrame(cases, schema)
+    idx = index["index"]
+    a = sorted(map(tuple, run_queries(spark, idx, qdf).collect()))
+    b = sorted(
+        map(tuple, run_queries(spark, idx, qdf, localize_threshold=0).collect())
+    )
+    assert a == b
+    # sharded variant through both paths too
+    a2 = sorted(map(tuple, run_queries(spark, idx, qdf, doc_shards=3).collect()))
+    b2 = sorted(
+        map(
+            tuple,
+            run_queries(spark, idx, qdf, doc_shards=3, localize_threshold=0).collect(),
+        )
+    )
+    assert a == a2 == b2

@@ -41,7 +41,10 @@ def test_features_deterministic(spark, media):
 
 
 def test_fake_disallowed_raises(spark, media):
-    with pytest.raises(Exception, match="NotImplementedError|no decoder"):
+    # with the numpy BMP/WAV fallbacks a real decoder ALWAYS exists for
+    # image/audio, so undecodable payloads now fail inside the decoder
+    # (ValueError) rather than on the no-decoder stub
+    with pytest.raises(Exception, match="NotImplementedError|no decoder|not a BMP|not a WAVE"):
         extract_features(media, deterministic_fake=False).collect()
 
 
@@ -102,8 +105,11 @@ def test_feature_kernel_branches():
     except ValueError:
         pass
 
-    # in-container truth: no codec libs -> probe returns None for all kinds
-    assert _try_real_decoder("image") is None or callable(_try_real_decoder("image"))
+    # in-container truth: image/audio always have a real decoder (the
+    # numpy BMP/WAV fallbacks); video has none
+    assert callable(_try_real_decoder("image"))
+    assert callable(_try_real_decoder("audio"))
+    assert _try_real_decoder("video") is None
 
 
 def test_real_image_kernel_shape():
@@ -125,7 +131,102 @@ def test_real_image_kernel_shape():
         assert out[0] == 6.0 and out[1] == 4.0
         assert np.all((out[2:] >= 0.0) & (out[2:] <= 1.0))
     except ImportError:
-        # PIL absent in-container: the kernel exists and is wired through
-        # _try_real_decoder; shape contract asserted on the fake instead
-        assert mm._try_real_decoder("image") is None
+        # PIL absent in-container: the dependency-free BMP kernel is wired
+        # through _try_real_decoder instead (VERDICT r03 item 4)
+        assert mm._try_real_decoder("image") is mm._bmp_image_feature
         assert mm._fake_feature(b"x", 8).shape == (8,)
+
+
+def _make_bmp(pixels):
+    """Serialize an (h, w, 3) uint8 RGB array as a bottom-up 24-bit BMP."""
+    import numpy as np
+    import struct
+
+    h, w = pixels.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for row in pixels[::-1]:  # bottom-up
+        bgr = row[:, ::-1].astype(np.uint8).tobytes()
+        body += bgr + b"\x00" * (stride - w * 3)
+    pix_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pix_off + len(body), 0, 0, pix_off)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def _make_wav(samples16, rate=8000, channels=1):
+    """Serialize int16 samples as a PCM RIFF/WAVE file."""
+    import numpy as np
+    import struct
+
+    data = np.asarray(samples16, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, rate, rate * 2 * channels,
+                      2 * channels, 16)
+    chunks = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt \
+        + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def test_numpy_bmp_decoder_exact_pixels():
+    """The dependency-free BMP decoder recovers the EXACT pixels we wrote
+    — the real-decoder branch decodes actual media, not a sha fake."""
+    import numpy as np
+
+    from find_that_charity_spark.operators.multimodal import decode_bmp
+
+    rng = np.random.default_rng(5)
+    for w, h in [(4, 4), (5, 3), (1, 7)]:  # odd widths exercise row padding
+        px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        got = decode_bmp(_make_bmp(px))
+        assert np.array_equal(got, px), (w, h)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_bmp(b"\x89PNG not a bmp at all" * 4)
+
+
+def test_numpy_wav_decoder_exact_samples():
+    import numpy as np
+
+    from find_that_charity_spark.operators.multimodal import decode_wav
+
+    s16 = np.array([0, 16384, -16384, 32767, -32768, 123], dtype=np.int16)
+    arr, rate = decode_wav(_make_wav(s16, rate=44100))
+    assert rate == 44100
+    assert np.allclose(arr, s16.astype(np.float32) / 32768.0)
+    # stereo: channel average
+    stereo = np.stack([s16, np.zeros_like(s16)], axis=1).ravel()
+    arr2, _ = decode_wav(_make_wav(stereo, rate=8000, channels=2))
+    assert np.allclose(arr2, s16.astype(np.float32) / 65536.0)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        decode_wav(b"RIFFxxxxNOPE" + b"\x00" * 64)
+
+
+def test_real_branch_end_to_end(spark):
+    """extract_features with deterministic_fake=False over REAL BMP/WAV
+    payloads runs the real-decoder branch through the full mapInPandas
+    plumbing: features carry true width/height and sample-rate/count."""
+    import numpy as np
+
+    from find_that_charity_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _fake_feature,
+    )
+
+    px = np.arange(6 * 4 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    wav = _make_wav(np.arange(-500, 500, dtype=np.int16), rate=16000)
+    rows = [
+        (1, "https://a/p.bmp", "image", _make_bmp(px), 6, 4, None),
+        (2, "https://a/p.wav", "audio", wav, None, None, 62),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: list(r["feature"])
+           for r in extract_features(media, dim=8, deterministic_fake=False).collect()}
+    assert out[1][0] == 6.0 and out[1][1] == 4.0      # true BMP dims
+    assert all(0.0 <= v <= 1.0 for v in out[1][2:])    # decoded intensities
+    assert out[2][0] == 16000.0 and out[2][1] == 1000.0  # true WAV rate/len
+    # and it is NOT the sha fake
+    assert out[1] != _fake_feature(_make_bmp(px), 8).tolist()
+    assert out[2] != _fake_feature(wav, 8).tolist()

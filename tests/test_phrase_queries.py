@@ -108,3 +108,17 @@ def test_phrase_without_positions_raises(spark, tmp_path_factory):
                                 "qid string, text string, k int, mode string")
     with pytest.raises(Exception, match="positions"):
         run_queries(spark, idx, qdf).collect()
+
+
+def test_phrase_driver_vs_distributed_analysis(spark, index):
+    """Phrase q_offsets built driver-side (small-batch shortcut) must equal
+    the distributed posexplode path (VERDICT r03 item 8)."""
+    qdf = spark.createDataFrame(
+        [("p0", "charitable trust", 10, "phrase"), ("p1", "acme charitable trust", 10, "phrase")],
+        "qid string, text string, k int, mode string",
+    )
+    a = sorted(map(tuple, run_queries(spark, index["idx"], qdf).collect()))
+    b = sorted(
+        map(tuple, run_queries(spark, index["idx"], qdf, localize_threshold=0).collect())
+    )
+    assert a == b and a

@@ -101,3 +101,61 @@ def test_add_to_csv(spark, index):
     assert by_id["r1"]["match_url"] == by_id["r2"]["match_url"]  # same entity
     assert by_id["r3"]["match_url"] is None
     assert by_id["r1"]["match_score"] > 0
+
+
+def test_reconcile_type_and_properties(spark, index):
+    """Recon API v0.2 constraint fields (VERDICT r03 item 9): a foreign
+    type matches nothing; a lang property restricts candidates WITHOUT
+    changing their scores (ES filter-context semantics)."""
+    from find_that_charity_spark.operators.recon import RECON_TYPE
+
+    base = {"q0": {"query": ENTITY_NAMES[0], "limit": 10}}
+    plain = reconcile(spark, index, base)
+    assert plain["q0"]["result"]
+
+    # wrong type: empty result, right type: unchanged
+    wrong = reconcile(
+        spark, index, {"q0": {**base["q0"], "type": "organisation"}}
+    )
+    assert wrong["q0"]["result"] == []
+    same = reconcile(spark, index, {"q0": {**base["q0"], "type": RECON_TYPE}})
+    assert same == plain
+
+    # lang filter: only lang-matching docs remain, scores preserved
+    docs = spark.read.parquet(f"{index}/docs").select("url", "lang").collect()
+    lang_of = {r["url"]: r["lang"] for r in docs}
+    filtered = reconcile(
+        spark, index,
+        {"q0": {**base["q0"], "properties": [{"pid": "lang", "v": "en"}]}},
+    )
+    hits = filtered["q0"]["result"]
+    assert hits, "some en hits expected"
+    assert all(lang_of[h["id"]] == "en" for h in hits)
+    plain_scores = {h["id"]: h["score"] for h in plain["q0"]["result"]}
+    for h in hits:
+        if h["id"] in plain_scores:  # filter context: score unchanged
+            assert h["score"] == pytest.approx(plain_scores[h["id"]], rel=1e-12)
+    # the filtered set is exactly the plain set minus non-en docs, topped up
+    non_en_plain = [h for h in plain["q0"]["result"] if lang_of[h["id"]] != "en"]
+    assert non_en_plain, "fixture should have non-en hits for this query"
+    assert not {h["id"] for h in hits} & {h["id"] for h in non_en_plain}
+
+    # unknown property pids are ignored (OpenRefine convention)
+    loose = reconcile(
+        spark, index,
+        {"q0": {**base["q0"], "properties": [{"pid": "nope", "v": "x"}]}},
+    )
+    assert loose == plain
+
+    # mixed batch: per-signature grouping keeps qids independent
+    mixed = reconcile(
+        spark, index,
+        {
+            "a": base["q0"],
+            "b": {**base["q0"], "properties": [{"pid": "lang", "v": "en"}]},
+            "c": {**base["q0"], "type": "organisation"},
+        },
+    )
+    assert mixed["a"] == plain["q0"]
+    assert mixed["b"] == filtered["q0"]
+    assert mixed["c"]["result"] == []

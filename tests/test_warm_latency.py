@@ -31,12 +31,23 @@ def test_warm_search_is_one_spark_job(spark, index):
     assert s._term_map is not None, "toy dictionary must preload"
     s.search("charitable trust", k=10)  # warm the JVM/codegen paths
     sc = spark.sparkContext
-    for i, q in enumerate(["charitable trust", "acme w0001", "w0001"]):
+    for i, (q, mode) in enumerate(
+        [
+            ("charitable trust", "freetext"),
+            ("acme w0001", "freetext"),
+            ("w0001", "freetext"),
+            # VERDICT r03 item 6: warm fuzzy must also be ONE job — the
+            # edit-1 expansion probes the pinned term map driver-side
+            ("charitible", "fuzzy"),
+            ("charitable trust", "phrase"),
+            ("charitable trust", "bool_and"),
+        ]
+    ):
         group = f"warmjob_{i}"
         sc.setJobGroup(group, "warm query job count")
-        got = s.search(q, k=10)
+        got = s.search(q, k=10, mode=mode)
         n_jobs = len(sc.statusTracker().getJobIdsForGroup(group))
-        assert n_jobs == 1, f"{q}: {n_jobs} jobs (expected 1 warm)"
+        assert n_jobs == 1, f"{q} ({mode}): {n_jobs} jobs (expected 1 warm)"
         assert got, q
     s.close()
 
