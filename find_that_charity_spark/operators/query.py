@@ -767,33 +767,48 @@ def _analyze_batch_driver(
     from find_that_charity_spark.functions.analyzer import analyze, analyze_name
     from find_that_charity_spark.functions.fuzzy import deletion_keys, within_edit1
 
-    parsed = []  # (qid, k, mode, {term: (neg, q_offsets)}, n_required)
-    fuzzy_qs: list[tuple[str, int, list[str]]] = []
+    # keyed by qid: duplicate qid rows MERGE exactly as the distributed
+    # groupBy(qid, term) lineage does — first k/mode, neg ORs, phrase
+    # offsets union-sorted (malformed input, but the two paths must agree)
+    by_qid: dict[str, list] = {}  # qid -> [k, mode, {term: [neg, offsets]}]
+    fuzzy_by_qid: dict[str, tuple[int, set[str]]] = {}
     for r in qrows:
         qid, text = r["qid"], r["text"] or ""
         k, mode = int(r["k"]), r["mode"]
         if mode == "fuzzy":
-            fuzzy_qs.append((qid, k, sorted(set(analyze_name(text)))))
+            prev_f = fuzzy_by_qid.get(qid)
+            qts = set(analyze_name(text))
+            if prev_f is None:
+                fuzzy_by_qid[qid] = (k, qts)
+            else:
+                fuzzy_by_qid[qid] = (prev_f[0], prev_f[1] | qts)
             continue
+        entry = by_qid.setdefault(qid, [k, mode, {}])
+        terms: dict[str, list] = entry[2]
         if mode == "phrase":
             toks = analyze(text)
-            offs: dict[str, list[int]] = {}
             for i, t in enumerate(toks):
-                offs.setdefault(t, []).append(i)
-            terms = {t: (False, sorted(o)) for t, o in offs.items()}
+                slot = terms.setdefault(t, [False, []])
+                slot[1].append(i)
         else:
             qa = analyze_name if mode == "recon" else analyze
-            terms = {}
             for word in text.split():
                 if not word:
                     continue
                 neg = word.startswith("-")
                 for t in qa(word.lstrip("-")):
-                    prev = terms.get(t)
+                    slot = terms.setdefault(t, [False, None])
                     # a term both included and negated -> negated (max(neg))
-                    terms[t] = (neg or (prev is not None and prev[0]), None)
-        n_required = sum(1 for neg, _ in terms.values() if not neg)
-        parsed.append((qid, k, mode, terms, n_required))
+                    slot[0] = slot[0] or neg
+    parsed = []  # (qid, k, mode, {term: (neg, q_offsets)}, n_required)
+    for qid, (k, mode, terms) in by_qid.items():
+        final = {
+            t: (bool(neg), sorted(offs) if offs is not None else None)
+            for t, (neg, offs) in terms.items()
+        }
+        n_required = sum(1 for neg, _ in final.values() if not neg)
+        parsed.append((qid, k, mode, final, n_required))
+    fuzzy_qs = [(qid, k, sorted(qts)) for qid, (k, qts) in fuzzy_by_qid.items()]
 
     # fuzzy expansion: deletion-key probe (pushed IN-list) + exact verify,
     # exactly the distributed path's contract; falls back to a levenshtein
