@@ -233,7 +233,15 @@ def _hashed_grams_expr(toks, shingle: int):
     the 100-TB flavor: per-token xxhash64 once, then a mod-p polynomial
     combination of each window. String gram building dominated the
     signature cost (~60%) in the md5 flavor; this path replaces it with
-    three long ops per gram."""
+    three long ops per gram.
+
+    Spark 4 evaluates the transform/zip_with lambdas with an interpreted
+    expression tree per element — but the MEASURED explode+window twin
+    (hash_fn='xxhash64_exploded', VERDICT r04 item 4) is 0.89x, i.e.
+    SLOWER: its token-stream exchange + per-doc sort costs more than the
+    interpreter does, while this form needs no exchange at all
+    (benchmarks/bench_micro.py, 100k docs, interleaved medians). The HOF
+    form therefore stays the scale default."""
     th = F.transform(toks, lambda t: F.pmod(F.xxhash64(t), F.lit(_MERSENNE_P)))
     n = F.size(toks)
     ln = F.greatest(n - F.lit(shingle - 1), F.lit(0))
@@ -314,6 +322,45 @@ def minhash_signatures(
         hashed = toksdf.select(
             "id", F.explode(_hashed_grams_expr(F.col("toks"), shingle)).alias("x")
         )
+    elif hash_fn == "xxhash64_exploded":
+        # explode twin of the HOF flavor (VERDICT r04 item 4): Spark 4
+        # evaluates HOF lambdas with an interpreted expression tree PER
+        # ELEMENT, so transform/zip_with+xxhash64 pays interpreter cost
+        # per token. Here the token hash is a whole-stage-codegen
+        # projection over the exploded stream; the sliding gram
+        # combination is shingle-1 window leads over (id, pos); and the
+        # minhash aggregation below reuses the window's id-partitioning,
+        # so the ONLY exchange is the token stream (16 B/token) — vs zero
+        # extra exchange but interpreted lambdas in the HOF flavor.
+        # Output-identical to hash_fn='xxhash64' (pinned in tests); the
+        # >=100k-doc A/B lives in benchmarks/bench_micro.py.
+        from pyspark.sql import Window
+
+        tok = toksdf.select(
+            "id", F.size("toks").alias("n"), F.posexplode("toks").alias("pos", "t")
+        )
+        h = tok.select(
+            "id", "n", "pos", F.pmod(F.xxhash64("t"), F.lit(_MERSENNE_P)).alias("h")
+        )
+        w = Window.partitionBy("id").orderBy("pos")
+        g = F.col("h")
+        for j in range(1, shingle):
+            lead_j = F.lead("h", j).over(w)
+            # null lead = doc ends inside the window: keep the partial
+            # fold, which for the pos==0 row of a short doc (n < shingle)
+            # is exactly the HOF flavor's whole-doc gram
+            g = F.when(
+                lead_j.isNotNull(),
+                F.pmod(g * F.lit(_POLY_C) + lead_j, F.lit(_MERSENNE_P)),
+            ).otherwise(g)
+        hashed = (
+            h.select("id", g.alias("x"), "pos", "n")
+            .where(
+                (F.col("pos") + F.lit(shingle) <= F.col("n"))
+                | ((F.col("n") < shingle) & (F.col("pos") == 0))
+            )
+            .select("id", "x")
+        )
     else:
         raise ValueError(f"unknown hash_fn {hash_fn!r}")
     aggs = [
@@ -376,6 +423,26 @@ def simhash_signatures(
     )
 
 
+# "auto" signature routing (VERDICT r04 item 2): the relational kernels
+# win from a few thousand docs up (interleaved A/B at 30k docs,
+# benchmarks/bench_micro.py) but their ~60-column aggregate plan costs
+# more in planning/codegen than the whole Arrow kernel does in compute on
+# tiny inputs — the r04 driver gates (~120-200 docs) tripled their walls.
+# Mirror of query.py's localize_threshold: a cheap limit(n+1) row probe
+# routes small inputs to the bit-identical md5_batch Arrow kernel and
+# everything else to the relational (at-scale default) path.
+_AUTO_SIGNATURE_THRESHOLD = 5_000
+
+
+def _resolve_signature_impl(
+    docs: DataFrame, id_col: str, signature_impl: str, large: str
+) -> str:
+    if signature_impl != "auto":
+        return signature_impl
+    n = docs.select(id_col).limit(_AUTO_SIGNATURE_THRESHOLD + 1).count()
+    return "arrow" if n <= _AUTO_SIGNATURE_THRESHOLD else large
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -385,7 +452,7 @@ def minhash_lsh_pairs(
     shingle: int = 3,
     threshold: float = 0.5,
     bucket_cap: int = 1000,
-    signature_impl: str = "relational_md5",
+    signature_impl: str = "auto",
 ) -> DataFrame:
     """Near-duplicate candidate pairs via MinHash banding + exact verify.
 
@@ -408,6 +475,9 @@ def minhash_lsh_pairs(
     the regime minhash_pairs_sql's oracle equivalence also assumes.
     """
     rows_per_band = num_hashes // bands
+    signature_impl = _resolve_signature_impl(
+        docs, id_col, signature_impl, large="relational_md5"
+    )
     if signature_impl == "relational_md5":
         sigs = minhash_signatures(docs, id_col, text_col, num_hashes, shingle, "md5")
     elif signature_impl == "relational_xxhash":
@@ -676,7 +746,7 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_hamming: int = 3,
-    signature_impl: str = "relational_md5",
+    signature_impl: str = "auto",
 ) -> DataFrame:
     """SimHash near-dup pairs: block banding + exact hamming verify.
 
@@ -701,6 +771,9 @@ def simhash_near_dups(
         else F.shiftrightunsigned("sh", off).bitwiseAND(F.lit((1 << w) - 1))
         for off, w in zip(offs, widths)
     ]
+    signature_impl = _resolve_signature_impl(
+        docs, id_col, signature_impl, large="relational_md5"
+    )
     if signature_impl == "relational_md5":
         sigs = simhash_signatures(docs, id_col, text_col)
     elif signature_impl == "arrow":
