@@ -130,6 +130,23 @@ def _vacuum_kernel(tomb_bc):
     return vac
 
 
+def _recover_docs_swap(index_dir: str) -> None:
+    """Finish an interrupted non-bucketed docs swap (ADVICE r04: the
+    docs -> docs_old, docs_new -> docs rename pair had no crash recovery —
+    a crash between the renames left the index with no docs table).
+    Mirrors _recover_segment_swap; a no-op when docs is present."""
+    docs = f"{index_dir}/docs"
+    new = f"{index_dir}/docs_new"
+    old = f"{index_dir}/docs_old"
+    if not os.path.exists(docs):
+        if os.path.exists(new):
+            os.rename(new, docs)  # crashed between the two renames
+        elif os.path.exists(old):
+            os.rename(old, docs)  # defensive: restore the pre-swap table
+    if os.path.exists(old) and os.path.exists(docs):
+        shutil.rmtree(old)
+
+
 def vacuum_index(spark: SparkSession, index_dir: str) -> dict:
     """Physically drop tombstoned documents; returns metrics. No-op (zero
     metrics) when the index has no tombstones."""
@@ -137,6 +154,7 @@ def vacuum_index(spark: SparkSession, index_dir: str) -> dict:
 
     check_format(index_dir)
     _recover_segment_swap(index_dir)
+    _recover_docs_swap(index_dir)
     tomb = read_tombstones(spark, index_dir)
     if tomb.size == 0:
         return {"n_tombstones": 0}

@@ -22,6 +22,18 @@ import uuid
 from typing import Any
 
 
+def strip_file_scheme(path: str) -> str:
+    """Local-FS form of a Hadoop path: both accepted spellings
+    ``file:///p`` / ``file:/p`` map to ``/p`` (ADVICE r04: a fixed
+    ``[7:]`` slice turned the single-slash form into garbage). Non-file
+    schemes pass through untouched (callers detect them via '://')."""
+    if path.startswith("file://"):
+        return path[7:]
+    if path.startswith("file:"):
+        return path[5:]
+    return path
+
+
 def write_format(index_dir: str) -> None:
     """Stamp the on-disk format version (codec.FORMAT_VERSION) into
     ``<index_dir>/format.json``. Idempotent; called at build start so even
@@ -50,7 +62,7 @@ def check_format(index_dir: str) -> None:
     properties instead."""
     from find_that_charity_spark.functions.codec import FORMAT_VERSION
 
-    local = index_dir[7:] if index_dir.startswith("file:") else index_dir
+    local = strip_file_scheme(index_dir)
     if "://" in local:
         return
     path = os.path.join(local, "format.json")

@@ -99,6 +99,38 @@ def _append_batch(
         probe = docs.where(F.col("url_bucket").isin(batch_buckets)).select(
             "url", "doc_id", "warc_ts"
         )
+    # Replay of a crashed attempt (ADVICE r04): a reservation for THIS
+    # unit means an earlier attempt may have appended docs — and under the
+    # single-writer contract every docs row with doc_id >= base_id is that
+    # attempt's. Parquet multi-file job commit is not atomic on a real FS,
+    # so the append can be PARTIALLY visible; recomputing "fresh" against
+    # the half-landed table would re-issue ids the landed rows already
+    # hold. Instead: if everything landed, just re-mark (cheap path); else
+    # hide the attempt's own rows from the probe so the replay recomputes
+    # the crashed attempt's EXACT fresh set (doc_id assignment is a pure
+    # function of that set), re-issues the SAME ids, and the docs append
+    # below anti-joins away whatever already landed.
+    pre = _last_pre_counts(mf, unit)
+    landed_ids = None
+    if pre is not None:
+        landed_ids = probe.where(F.col("doc_id") >= base_id).select("doc_id")
+        n_landed = landed_ids.count()
+        if n_landed == pre[0]:
+            # everything landed, only the done mark was lost; tombstones
+            # may not have — recompute them (monotone: dominated-once is
+            # dominated-forever) and re-mark with the reserved counts
+            n_tomb, tomb_len = _write_batch_tombstones(
+                spark, index_dir, unit, deduped, url_buckets, batch_buckets
+            )
+            mf.mark_done(
+                "stream_batch", unit, n_new=pre[0], new_len=pre[1],
+                n_tomb=n_tomb, tomb_len=tomb_len,
+            )
+            return
+        probe = probe.where(F.col("doc_id") < base_id)
+        # eager localCheckpoint: the anti-join below runs inside the docs
+        # APPEND job — its lineage must not re-list the docs dir mid-write
+        landed_ids = landed_ids.localCheckpoint() if n_landed else None
     # LIVE row per url = newest (warc_ts, doc_id) — earlier updates leave
     # superseded rows in the docs table until vacuum, so reduce first
     from pyspark.sql import Window
@@ -119,21 +151,16 @@ def _append_batch(
         F.col("live_ts").isNull() | (F.col("warc_ts") > F.col("live_ts"))
     ).drop("live_ts")
     if fresh.isEmpty():
-        pre = _last_pre_counts(mf, unit)
         if pre is not None:
-            # a prior attempt of THIS unit appended docs but crashed before
-            # its done mark (single-writer assumption — same as the base
-            # replay contract): everything landed, tombstones may not have;
-            # recompute them (monotone: dominated-once is dominated-forever)
-            n_tomb, tomb_len = _write_batch_tombstones(
-                spark, index_dir, unit, deduped, url_buckets, batch_buckets
+            # unreachable when the replayed batch matches the crashed
+            # attempt's input (the filtered probe reproduces a non-empty
+            # fresh set); reaching it means the replay fed different data
+            raise RuntimeError(
+                f"replay of {unit} recomputed an empty fresh set but the "
+                f"crashed attempt reserved {pre[0]} ids: the replayed "
+                "batch differs from the crashed attempt's input"
             )
-            mf.mark_done(
-                "stream_batch", unit, n_new=pre[0], new_len=pre[1],
-                n_tomb=n_tomb, tomb_len=tomb_len,
-            )
-        else:
-            mf.mark_done("stream_batch", unit, n_new=0, new_len=0)
+        mf.mark_done("stream_batch", unit, n_new=0, new_len=0)
         return
     tokenized = fresh.select(
         "url", "warc_ts", "lang", tokenize_udf(F.col("text")).alias("tokens")
@@ -161,6 +188,15 @@ def _append_batch(
         F.max("doc_len").alias("max_dl"),
     ).collect()[0]
     check_pack_bounds(agg["max_dl"], 0)
+    if pre is not None and int(agg["n"]) != pre[0]:
+        # determinism gate on the partial-replay path: the recomputed
+        # fresh set must be the crashed attempt's (same ids, same bytes) —
+        # a mismatch means the replayed batch is not the attempt's input,
+        # and appending would collide with or orphan the landed rows
+        raise RuntimeError(
+            f"replay of {unit} recomputed {int(agg['n'])} fresh docs but "
+            f"the crashed attempt reserved {pre[0]}: refusing to append"
+        )
     # id reservation BEFORE any write: if this attempt appends docs and
     # crashes before its done mark, later units still see the reserved
     # range via _doc_id_base and never collide with the orphaned rows
@@ -192,6 +228,11 @@ def _append_batch(
         f"{index_dir}/segments/chunk=stream_{stream_id}_{epoch_id}"
     )
     out_docs = with_len.select("doc_id", "url", "warc_ts", "lang", "doc_len")
+    if landed_ids is not None:
+        # partial-replay completion: append only the rows the crashed
+        # attempt did NOT land (same ids — the segment chunk overwrite
+        # above rewrote identical bytes for the full set)
+        out_docs = out_docs.join(F.broadcast(landed_ids), "doc_id", "left_anti")
     if url_buckets:
         out_docs.withColumn(
             "url_bucket", F.pmod(F.xxhash64("url"), F.lit(url_buckets)).cast("int")

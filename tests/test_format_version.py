@@ -52,3 +52,20 @@ def test_query_path_rejects_unstamped(tmp_path, spark):
     os.makedirs(d)
     with pytest.raises(RuntimeError, match="pre-versioning"):
         load_stats(spark, d)
+
+
+def test_file_scheme_forms_accepted(tmp_path):
+    """ADVICE r04 (low): Hadoop accepts both file:///p and file:/p; the
+    single-slash form must resolve to the same local dir (a fixed [7:]
+    slice used to mangle it into a spurious 'no format.json')."""
+    from find_that_charity_spark.plans.checkpoint import strip_file_scheme
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    write_format(d)
+    assert strip_file_scheme(f"file://{d}") == d
+    assert strip_file_scheme(f"file:{d}") == d
+    assert strip_file_scheme(d) == d
+    assert strip_file_scheme("s3://bucket/x") == "s3://bucket/x"
+    check_format(f"file://{d}")
+    check_format(f"file:{d}")  # the r04 bug: raised RuntimeError here

@@ -269,3 +269,115 @@ def test_update_streaming_replay_idempotent(spark, tmp_path):
     refresh_stats(spark, idx)
     stats = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
     assert stats["n_docs"] == 50  # live corpus unchanged in SIZE by updates
+
+
+def test_replay_after_PARTIAL_docs_append(spark, tmp_path):
+    """ADVICE r04 (medium): parquet multi-file job commit is not atomic on
+    a real FS — a crashed append can be PARTIALLY visible. The replay must
+    re-issue the crashed attempt's EXACT ids (not recompute "fresh" from
+    the half-landed table, which would collide) and append only the
+    missing rows. Simulated by deleting a strict subset of the appended
+    files after dropping the done mark."""
+    import os
+
+    from find_that_charity_spark.streaming.incremental import (
+        _append_batch,
+        refresh_stats,
+    )
+
+    pages = synth_web_pages(80)
+    pages = pages.sort_values("warc_ts").groupby("url").tail(1).sort_index()
+    base, b1 = pages.iloc[:40], pages.iloc[40:].copy()
+    idx = str(tmp_path / "idx")
+    bp = str(tmp_path / "base")
+    spark.createDataFrame(base, WEB_PAGES_SCHEMA).write.parquet(bp)
+    build_index(spark, bp, idx, BuildConfig(num_buckets=4, id_buckets=4,
+                                            segment_chunks=1))
+    base_max = _docs(spark, idx).agg({"doc_id": "max"}).collect()[0][0]
+
+    b1_df = spark.createDataFrame(b1, WEB_PAGES_SCHEMA)
+    _append_batch(spark, b1_df, 0, idx, num_buckets=4, stream_id="s")
+    full = _docs(spark, idx).toPandas().sort_values("doc_id").reset_index(drop=True)
+    appended = full[full["doc_id"] > base_max]
+    assert len(appended) == 40
+
+    # crash simulation: drop the done mark AND un-land a subset of the
+    # appended rows by deleting some of the files the append job wrote
+    mpath = f"{idx}/manifest.jsonl"
+    entries = [json.loads(ln) for ln in open(mpath)]
+    kept = [e for e in entries
+            if not (e.get("stage") == "stream_batch" and e.get("unit") == "s:0")]
+    assert len(kept) == len(entries) - 1
+    with open(mpath, "w") as f:
+        for e in kept:
+            f.write(json.dumps(e) + "\n")
+    from pyspark.sql import functions as F
+
+    new_files = sorted(
+        r[0]
+        for r in _docs(spark, idx)
+        .where(F.col("doc_id") > base_max)
+        .select(F.input_file_name())
+        .distinct()
+        .collect()
+    )
+    assert len(new_files) >= 2, "need >=2 appended files to simulate partial"
+    victims = new_files[: len(new_files) // 2]
+    for uri in victims:
+        os.remove(uri.removeprefix("file://").removeprefix("file:"))
+    spark.catalog.clearCache()
+    partial = _docs(spark, idx).toPandas()
+    n_landed = (partial["doc_id"] > base_max).sum()
+    assert 0 < n_landed < 40
+
+    # replay: must complete the append under the ORIGINAL ids
+    _append_batch(spark, b1_df, 0, idx, num_buckets=4, stream_id="s")
+    docs = _docs(spark, idx).toPandas().sort_values("doc_id").reset_index(drop=True)
+    assert docs["doc_id"].is_unique and docs["url"].is_unique
+    pd.testing.assert_frame_equal(docs, full)
+
+    # next epoch continues above; stats exact
+    refresh_stats(spark, idx)
+    stats = spark.read.parquet(f"{idx}/corpus_stats").collect()[0]
+    assert stats["n_docs"] == 80
+    assert stats["total_len"] == int(docs["doc_len"].sum())
+
+
+def test_recover_docs_swap_windows(tmp_path):
+    """ADVICE r04 (low): every crash window of the non-bucketed docs swap
+    (docs -> docs_old, docs_new -> docs, rm docs_old) must be repaired at
+    vacuum start, mirroring _recover_segment_swap."""
+    import os
+
+    from find_that_charity_spark.operators.vacuum import _recover_docs_swap
+
+    def mk(*dirs):
+        root = tmp_path / f"case_{mk.n}"
+        mk.n += 1
+        for d in dirs:
+            os.makedirs(root / d)
+            (root / d / "part-0.parquet").write_bytes(b"x")
+        return str(root)
+
+    mk.n = 0
+    # between the two renames: docs gone, old+new present -> finish swap
+    r = mk("docs_old", "docs_new")
+    _recover_docs_swap(r)
+    assert os.path.exists(f"{r}/docs") and not os.path.exists(f"{r}/docs_old")
+    assert not os.path.exists(f"{r}/docs_new")
+    # after second rename, before cleanup: docs + old -> drop old
+    r = mk("docs", "docs_old")
+    _recover_docs_swap(r)
+    assert os.path.exists(f"{r}/docs") and not os.path.exists(f"{r}/docs_old")
+    # before any rename: docs + stale docs_new -> untouched (rerun overwrites)
+    r = mk("docs", "docs_new")
+    _recover_docs_swap(r)
+    assert os.path.exists(f"{r}/docs") and os.path.exists(f"{r}/docs_new")
+    # defensive: only docs_old survives -> restore it
+    r = mk("docs_old")
+    _recover_docs_swap(r)
+    assert os.path.exists(f"{r}/docs") and not os.path.exists(f"{r}/docs_old")
+    # healthy store -> no-op
+    r = mk("docs")
+    _recover_docs_swap(r)
+    assert os.path.exists(f"{r}/docs")
