@@ -24,6 +24,8 @@ tests/test_index_query.py.
 from __future__ import annotations
 
 import heapq
+import os
+import threading
 from dataclasses import dataclass
 
 import numpy as np
@@ -528,15 +530,55 @@ def read_tombstones(spark: SparkSession, index_dir: str) -> np.ndarray:
 
     from pyspark.errors import AnalysisException
 
+    from find_that_charity_spark.plans.checkpoint import strip_file_scheme
+
     path = f"{index_dir}/tombstones"
-    local = path[7:] if path.startswith("file:") else path
+    local = strip_file_scheme(path)
     if "://" not in local and not os.path.exists(local):
         return np.empty(0, dtype=np.int64)
+    key = _local_mtime_key(path)
+    if key is not None:
+        hit = _TOMB_CACHE.get(index_dir)
+        if hit is not None and hit[0] == key:
+            return hit[1]
     try:
         rows = spark.read.parquet(path).select("doc_id").distinct().collect()
     except AnalysisException:  # remote store without a tombstones dir
         return np.empty(0, dtype=np.int64)
-    return np.sort(np.array([r[0] for r in rows], dtype=np.int64))
+    out = np.sort(np.array([r[0] for r in rows], dtype=np.int64))
+    if key is not None:
+        _TOMB_CACHE[index_dir] = (key, out)
+    return out
+
+
+# driver-side mtime-keyed caches (VERDICT r04 item 5): corpus_stats and
+# tombstones are re-read per run_queries batch — one constant Spark job
+# each. On a local store the freshness signal is free (file mtimes), so a
+# warm driver serves repeats at zero jobs; any writer (refresh, vacuum)
+# rewrites the files and the key changes. Remote schemes skip the cache.
+_STATS_CACHE: dict[str, tuple[tuple, int, float]] = {}
+_TOMB_CACHE: dict[str, tuple[tuple, np.ndarray]] = {}
+
+
+def _local_mtime_key(path: str) -> tuple | None:
+    """Recursive (path, mtime_ns) signature of a local dir, or None when
+    the path is remote (no cheap freshness signal) — None disables
+    caching. A missing dir gets an empty signature (cacheable)."""
+    from find_that_charity_spark.plans.checkpoint import strip_file_scheme
+
+    local = strip_file_scheme(path)
+    if "://" in local:
+        return None
+    sig = []
+    for dirpath, _dirs, files in os.walk(local):
+        sig.append((dirpath, os.stat(dirpath).st_mtime_ns))
+        for fn in files:
+            fp = os.path.join(dirpath, fn)
+            try:
+                sig.append((fp, os.stat(fp).st_mtime_ns))
+            except FileNotFoundError:  # racing writer: fall back to fresh read
+                return None
+    return tuple(sig)
 
 
 def load_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
@@ -544,8 +586,16 @@ def load_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
     # format check here so an old-layout store fails fast with a rebuild
     # hint instead of misdecoding blobs (ADVICE r03)
     check_format(index_dir)
+    key = _local_mtime_key(f"{index_dir}/corpus_stats")
+    if key is not None:
+        hit = _STATS_CACHE.get(index_dir)
+        if hit is not None and hit[0] == key:
+            return hit[1], hit[2]
     row = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
-    return int(row["n_docs"]), float(row["avgdl"])
+    out = (int(row["n_docs"]), float(row["avgdl"]))
+    if key is not None:
+        _STATS_CACHE[index_dir] = (key, *out)
+    return out
 
 
 class IndexSearcher:
@@ -583,6 +633,11 @@ class IndexSearcher:
             self._term_map = {
                 r["term"]: (r["bucket"], r["df"]) for r in self.dictionary.collect()
             }
+        # lazy fuzzy-expansion state (built on first fuzzy query):
+        # _alphabet = every char that appears in a pinned dictionary term;
+        # _del_index = SymSpell deletion-key dual over the pinned map
+        self._alphabet: str | None = None
+        self._del_index: dict[str, list[str]] | None = None
         self.segments = spark.read.parquet(f"{index_dir}/segments")
         # tombstones pinned once for the handle's lifetime (warm regime);
         # reopen the searcher after appends/vacuum, as with stats/dictionary
@@ -679,21 +734,57 @@ class IndexSearcher:
         out = rows.coalesce(1).mapInPandas(one_group, RESULTS_SCHEMA).collect()
         return [(r["rank"], r["doc_id"], r["score"]) for r in sorted(out, key=lambda r: r["rank"])]
 
+    # generation beats the deletion-key dual only while terms*alphabet is
+    # small: generation probes O(len*|alphabet|) strings per query term,
+    # the dual probes O(len) keys but pays a one-time index build over the
+    # whole pinned dictionary (~len+1 keys per dict term)
+    _FUZZY_DUAL_MIN_TERMS = 32
+    _FUZZY_DUAL_MAX_ALPHABET = 64
+
     def _expand_fuzzy(self, qterms: list[str]) -> set[str]:
         """Edit-distance-1 expansion with ZERO Spark jobs when the
         dictionary is memory-pinned (VERDICT r03 item 6): generate the
-        query term's full edit-1 neighborhood over the analyzer alphabet
-        ([a-z0-9] — ~73*len+36 strings) and probe the driver-side term
-        map directly (SymSpell's generate-and-test dual). Keeps the warm
-        fuzzy query at one Spark job total, like every other warm mode.
+        query term's full edit-1 neighborhood over the DICTIONARY'S OWN
+        alphabet and probe the driver-side term map (SymSpell's
+        generate-and-test dual). Exact by construction: an in-dictionary
+        neighbor's substituted/inserted char appears in that term, hence
+        in the alphabet — so analyzer-legal chars beyond [a-z0-9]
+        (underscore, non-ASCII \\w) are covered (ADVICE r04). Keeps the
+        warm fuzzy query at one Spark job total.
+
+        Large warm batches and large (multilingual) alphabets switch to a
+        lazily-built driver-side deletion-key index over the pinned map —
+        O(len) probes per term instead of O(len*|alphabet|) — still zero
+        Spark jobs (VERDICT r04 item 6).
 
         Falls back to the fuzzy_keys deletion index (pushed IN-list scan,
         one extra job) for web-scale dictionaries that exceed the pin."""
         from find_that_charity_spark.functions.fuzzy import deletion_keys, within_edit1
 
         if self._term_map is not None:
-            alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
-            out: set[str] = set()
+            if self._alphabet is None:
+                self._alphabet = "".join(
+                    sorted({ch for t in self._term_map for ch in t})
+                )
+            if (
+                len(qterms) >= self._FUZZY_DUAL_MIN_TERMS
+                or len(self._alphabet) > self._FUZZY_DUAL_MAX_ALPHABET
+            ):
+                if self._del_index is None:
+                    idx: dict[str, list[str]] = {}
+                    for u in self._term_map:
+                        for key in deletion_keys(u):
+                            idx.setdefault(key, []).append(u)
+                    self._del_index = idx
+                out = set()
+                for t in qterms:
+                    cands: set[str] = set()
+                    for key in deletion_keys(t):
+                        cands.update(self._del_index.get(key, ()))
+                    out.update(c for c in cands if within_edit1(c, t))
+                return out
+            alphabet = self._alphabet
+            out = set()
             for t in qterms:
                 if t in self._term_map:
                     out.add(t)
@@ -874,24 +965,35 @@ def _analyze_batch_driver(
     return rows
 
 
+_TAKE_WIDE_LOCK = threading.Lock()
+
+
 def take_wide(df: DataFrame, n: int) -> list:
     """take(n) in ONE job round: CollectLimit's incremental strategy
     (1 partition, then scale up) costs several sequential job rounds —
     measured 1.1 s vs 0.36 s for a 1-row relation at local[32]. Scoping
     ``spark.sql.limit.initialNumPartitions`` to the session's parallelism
     runs every partition in the first round; LocalLimit still caps each
-    task's output at n rows, so a huge source stays bounded."""
+    task's output at n rows, so a huge source stays bounded.
+
+    The conf is session-global, so the mutate-take-restore window is
+    serialized under a process lock (ADVICE r04): concurrent take_wide
+    calls on a shared warm SparkSession can no longer clobber each
+    other's restore. (A concurrent PLAIN .take() on another thread may
+    still observe the widened value — harmless: it only changes that
+    take's first-round partition count, never its result.)"""
     spark = df.sparkSession
     key = "spark.sql.limit.initialNumPartitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, str(max(spark.sparkContext.defaultParallelism, 1)))
-    try:
-        return df.take(n)
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    with _TAKE_WIDE_LOCK:
+        prev = spark.conf.get(key, None)
+        spark.conf.set(key, str(max(spark.sparkContext.defaultParallelism, 1)))
+        try:
+            return df.take(n)
+        finally:
+            if prev is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, prev)
 
 
 def run_queries(
@@ -903,6 +1005,7 @@ def run_queries(
     doc_shards: int | None = None,
     localize_threshold: int = 10_000,
     exclude_doc_ids: "np.ndarray | None" = None,
+    prefetched_qrows: list | None = None,
 ) -> DataFrame:
     """Answer a batch of queries (qid, text, k, mode) against the index.
 
@@ -938,7 +1041,15 @@ def run_queries(
     # (VERDICT r03 item 8 — measured 28 jobs -> 5 per batch). Batch size
     # is probed with an early-terminating take(threshold + 1), cheap for
     # any source; the rows are then already in hand for the small case.
-    qrows = take_wide(queries_df, localize_threshold + 1)
+    # A caller that already holds the batch driver-side (add_to_csv's
+    # probe) passes ``prefetched_qrows`` and skips the probe job entirely
+    # (VERDICT r04 item 5 — the rows must mirror queries_df).
+    if prefetched_qrows is not None:
+        if len(prefetched_qrows) > localize_threshold:
+            raise ValueError("prefetched_qrows only supports small batches")
+        qrows = prefetched_qrows
+    else:
+        qrows = take_wide(queries_df, localize_threshold + 1)
     n_queries = len(qrows)
     if n_queries <= localize_threshold:
         matched_rows = _analyze_batch_driver(spark, index_dir, dictionary, qrows)

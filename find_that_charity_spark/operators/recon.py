@@ -179,14 +179,18 @@ def add_to_csv(
         import hashlib
 
         qid_of = {q: hashlib.md5(q.encode("utf-8")).hexdigest() for q in seen}
+        from pyspark.sql import Row
+
+        qrows = [Row(qid=qid_of[q], text=q, k=1, mode="recon") for q in seen]
         qdf = spark.createDataFrame(
-            [(qid_of[q], q, 1, "recon") for q in seen],
+            [tuple(r) for r in qrows],
             "qid string, text string, k int, mode string",
         )
         # rank without the url join-back: the top doc ids are collected
         # anyway, so one pushed IN-list docs lookup replaces a docs-table
-        # broadcast join (the scan reads only matching row groups)
-        res = run_queries(spark, index_dir, qdf).collect()
+        # broadcast join (the scan reads only matching row groups); the
+        # batch rows ride along driver-side, skipping the probe job
+        res = run_queries(spark, index_dir, qdf, prefetched_qrows=qrows).collect()
         top = [r for r in res if r["rank"] == 1 and r["score"] >= match_threshold]
         url_of = {}
         if top:

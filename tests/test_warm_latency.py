@@ -74,3 +74,39 @@ def test_warm_search_matches_run_queries(spark, index):
             [x for _, _, x in mine], w["score"].to_numpy(), rtol=1e-12
         )
     s.close()
+
+
+def test_expand_fuzzy_covers_full_word_alphabet(spark, index):
+    """ADVICE r04 (medium): the analyzer tokenizes \\w+, so dictionary
+    terms can contain '_' and non-ASCII word chars. The warm edit-1
+    expansion derives its alphabet FROM the pinned dictionary, so such
+    neighbors are found — and the generation path, the deletion-key dual,
+    and the brute within_edit1 scan must agree exactly."""
+    from find_that_charity_spark.functions.fuzzy import within_edit1
+
+    s = IndexSearcher(spark, index)
+    assert s._term_map is not None
+    # inject word-char terms the [a-z0-9] alphabet would miss
+    for t in ["foo_bar", "cafés", "naïve"]:
+        s._term_map[t] = (0, 1)
+    s._alphabet = None  # force re-derivation from the patched map
+    s._del_index = None
+
+    queries = ["foo_baz", "cafes", "café", "naive", "charitible"]
+    brute = {
+        q: {u for u in s._term_map if within_edit1(u, q)} for q in queries
+    }
+    gen = {q: s._expand_fuzzy([q]) for q in queries}
+    # underscore/é neighbors must be present (the r04 bug: silently missed)
+    assert "foo_bar" in gen["foo_baz"]
+    assert "cafés" in gen["cafes"]
+    assert gen == brute
+
+    # the deletion-key dual (large-batch / large-alphabet route): same set
+    s._del_index = None
+    big_batch = queries * 7  # >= _FUZZY_DUAL_MIN_TERMS terms
+    assert len(big_batch) >= s._FUZZY_DUAL_MIN_TERMS
+    dual_all = s._expand_fuzzy(big_batch)
+    assert dual_all == set().union(*brute.values())
+    assert s._del_index is not None, "dual index must have been built"
+    s.close()
