@@ -179,7 +179,17 @@ def main() -> None:
 
     present = [n for n in HEADLINE if n in qs]
     samples: dict[str, list[float]] = {n: [] for n in present}
+    # per-rep fixed-work probe (VERDICT r04 item 3): r04's third repeat of
+    # nearly every query ran 2-4x its first — a host window degrading
+    # MID-BENCH that a single up-front calibration can't attribute. A
+    # small all-core JVM probe before each rep timestamps the window each
+    # rep ran in, so per-query drift (e.g. bm25_topk_flagship's [3.76,
+    # 1.92, 5.78] r04 samples) carries its own host evidence.
+    rep_cal: list[float] = []
     for _rep in range(BENCH_REPEATS):
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id % 97)").collect()
+        rep_cal.append(round(time.perf_counter() - t0, 3))
         for name in present:
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
@@ -202,6 +212,7 @@ def main() -> None:
                 },
                 "repeats": BENCH_REPEATS,
                 "calibration": calibration,
+                "calibration_per_rep_jvm_s": rep_cal,
                 # apples-to-apples vs earlier rounds (r01: 19 queries,
                 # r02: 22): per-query medians summed over each round's set
                 "queries_r01_subtotal": round(

@@ -133,6 +133,59 @@ LEVELS = [
 ]
 
 
+def _steal_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    return int(parts[8]) if len(parts) > 8 else 0
+
+
+def _run_one(work, runner_path, fx, master, shuffle, rep, runs):
+    """One subprocess rep of one level; appends its payload to ``runs``
+    and returns it (with steal_pct attached)."""
+    idx = os.path.join(work, f"idx_{master[6:-1]}_{rep}")
+    out_json = os.path.join(work, f"out_{master[6:-1]}_{rep}.json")
+    t0 = time.time()
+    steal0 = _steal_jiffies()
+    n_cores = int(master[6:-1])
+    pin = (
+        [] if os.environ.get("SCALING_NO_PIN")
+        else ["taskset", "-c", f"0-{n_cores - 1}" if n_cores > 1 else "0"]
+    )
+    # heap scales with simulated core count (3 GB/core, 8 GB floor): an
+    # N-executor and a 4N-executor cluster of identical machines differ
+    # 4x in TOTAL memory, so a fixed local-mode heap starved the high-N
+    # level into GC that no real 4N cluster would see (measured 8.9 s ->
+    # 70.2 s total GC going local[2] -> local[32] at a fixed 8 GB;
+    # docs/SCALE.md). The floor only ADDS memory to the small-N level —
+    # bias against the reported efficiency, never for it.
+    env = dict(os.environ, SPARK_DRIVER_MEM=f"{max(8, 3 * n_cores)}g")
+    subprocess.run(
+        pin + [sys.executable, runner_path, master, f"{fx}/web_pages.parquet",
+               idx, f"{fx}/queries.parquet", out_json, str(shuffle)],
+        check=True, cwd=ROOT, env=env,
+    )
+    wall = time.time() - t0
+    with open(out_json) as f:
+        runs.append(json.load(f))
+    # host-wide steal fraction over the rep (USER_HZ=100, all cpus)
+    n_host_cpus = os.cpu_count() or 1
+    runs[-1]["steal_pct"] = round(
+        100.0 * (_steal_jiffies() - steal0) / (100.0 * wall * n_host_cpus), 2
+    )
+    # results/doc_map_sha needed for the determinism asserts are in
+    # out_json; the index itself isn't read again — drop it so 9 reps on
+    # tmpfs don't eat the host's RAM (the runner builds twice per rep:
+    # idx_*_1 cold, idx_*_2 warm, plus eventlog)
+    import glob as _glob
+    import shutil
+
+    for d in _glob.glob(idx + "*"):
+        shutil.rmtree(d, ignore_errors=True)
+    print(f"{master} rep{rep}: {runs[-1]['docs_per_sec']} docs/s "
+          f"steal={runs[-1]['steal_pct']}% (run {wall:.0f}s incl session)")
+    return runs[-1]
+
+
 def main(n_docs: int = 500_000) -> None:
     work = tempfile.mkdtemp(prefix="ftc_scaling_")
     fx = os.path.join(work, "fx")
@@ -152,61 +205,39 @@ def main(n_docs: int = 500_000) -> None:
     results = {}
     all_runs: dict[str, list] = {master: [] for master, _ in LEVELS}
 
-    def _steal_jiffies() -> int:
-        with open("/proc/stat") as f:
-            parts = f.readline().split()
-        return int(parts[8]) if len(parts) > 8 else 0
-
     # INTERLEAVED order (VERDICT r03 item 2): rep 0 of every level, then
     # rep 1 of every level, ... — both levels sample the same host-noise
     # regime instead of one level eating a sequential steal burst. Each
     # rep also logs hypervisor steal (delta of /proc/stat jiffy 8 over
     # the rep's wall), so an external shortfall is quantified, not argued.
+    #
+    # STEAL GATE (round 5): a rep whose host-wide steal exceeds
+    # SCALING_MAX_STEAL% is discarded AND RERUN (bounded retries). Steal
+    # is by definition external to the job — r05 attempt 1 measured the
+    # bursts landing exclusively on the 8-core reps (0.08-0.43% on
+    # local[2] vs 2.3-3.1% on local[8]), which punishes the high-N level
+    # of the ratio structurally on an oversubscribed box. Discarded reps
+    # are published alongside the retained ones, never silently dropped.
+    max_steal = float(os.environ.get("SCALING_MAX_STEAL", "1.0"))
+    retry_budget = int(os.environ.get("SCALING_MAX_RETRIES", "6"))
+    discarded: list[dict] = []
     for rep in range(repeats):
         for master, shuffle in LEVELS:
             runs = all_runs[master]
-            idx = os.path.join(work, f"idx_{master[6:-1]}_{rep}")
-            out_json = os.path.join(work, f"out_{master[6:-1]}_{rep}.json")
-            t0 = time.time()
-            steal0 = _steal_jiffies()
-            n_cores = int(master[6:-1])
-            pin = (
-                [] if os.environ.get("SCALING_NO_PIN")
-                else ["taskset", "-c", f"0-{n_cores - 1}" if n_cores > 1 else "0"]
-            )
-            # heap scales with simulated core count (3 GB/core, 8 GB
-            # floor): an N-executor and a 4N-executor cluster of identical
-            # machines differ 4x in TOTAL memory, so a fixed local-mode
-            # heap starved the high-N level into GC that no real 4N
-            # cluster would see (measured 8.9 s -> 70.2 s total GC going
-            # local[2] -> local[32] at a fixed 8 GB; docs/SCALE.md). The
-            # floor only ADDS memory to the small-N level — bias against
-            # the reported efficiency, never for it.
-            env = dict(os.environ, SPARK_DRIVER_MEM=f"{max(8, 3 * n_cores)}g")
-            subprocess.run(
-                pin + [sys.executable, runner_path, master, f"{fx}/web_pages.parquet",
-                       idx, f"{fx}/queries.parquet", out_json, str(shuffle)],
-                check=True, cwd=ROOT, env=env,
-            )
-            wall = time.time() - t0
-            with open(out_json) as f:
-                runs.append(json.load(f))
-            # host-wide steal fraction over the rep (USER_HZ=100, all cpus)
-            n_host_cpus = os.cpu_count() or 1
-            runs[-1]["steal_pct"] = round(
-                100.0 * (_steal_jiffies() - steal0) / (100.0 * wall * n_host_cpus), 2
-            )
-            # results/doc_map_sha needed for the determinism asserts are
-            # in out_json; the index itself isn't read again — drop it so
-            # 9 reps on tmpfs don't eat the host's RAM (the runner builds
-            # twice per rep: idx_*_1 cold, idx_*_2 warm, plus eventlog)
-            import glob as _glob
-            import shutil
+            while True:
+                rc = _run_one(work, runner_path, fx, master, shuffle, rep, runs)
+                if rc["steal_pct"] <= max_steal or retry_budget <= 0:
+                    break
+                retry_budget -= 1
+                discarded.append(
+                    {"master": master, "rep": rep,
+                     "docs_per_sec": rc["docs_per_sec"],
+                     "steal_pct": rc["steal_pct"]}
+                )
+                runs.pop()  # steal-contaminated: rerun this level-rep
+                print(f"  discarded {master} rep{rep} "
+                      f"(steal {rc['steal_pct']}% > {max_steal}%), rerunning")
 
-            for d in _glob.glob(idx + "*"):
-                shutil.rmtree(d, ignore_errors=True)
-            print(f"{master} rep{rep}: {runs[-1]['docs_per_sec']} docs/s "
-                  f"steal={runs[-1]['steal_pct']}% (run {wall:.0f}s incl session)")
 
     for master, _ in LEVELS:
         runs = all_runs[master]
@@ -266,6 +297,9 @@ def main(n_docs: int = 500_000) -> None:
         for lo, hi, e, ec, cons in effs
     )
     pinned = "OFF (legacy mode)" if os.environ.get("SCALING_NO_PIN") else "ON"
+    discarded_note = (
+        json.dumps(discarded) if discarded else "none (no rep exceeded the gate)"
+    )
     membw_note = ""
     membw_path = os.path.join(ROOT, "BENCH", "MEMBW.json")
     if os.path.exists(membw_path):
@@ -332,6 +366,10 @@ Per-stage build walls, warm (s):
 Reps are INTERLEAVED across levels (rep 0 of each level, then rep 1, ...)
 so both levels sample the same host-noise regime; per-rep hypervisor
 steal is logged above from /proc/stat.
+
+Steal gate: reps with host-wide steal > {max_steal}% were discarded and
+rerun (steal is external to the job by definition; bounded retries).
+Discarded reps, published for transparency: {discarded_note}
 
 local[2] -> local[8] is the executor-scaling analog; local[8] ->
 local[32] is the single-box saturation view, reported for transparency.
