@@ -116,7 +116,9 @@ _UPDATED_TABLE_SQL = """(
   FROM documents)"""
 
 
-def _ensure_updated_index(spark: SparkSession, sf_dir: str, vacuumed: bool) -> str:
+def _ensure_updated_index(
+    spark: SparkSession, sf_dir: str, vacuumed: bool, tiered: bool = False
+) -> str:
     from find_that_charity_spark.operators.vacuum import vacuum_index
     from find_that_charity_spark.streaming.incremental import incremental_refresh
 
@@ -137,16 +139,29 @@ def _ensure_updated_index(spark: SparkSession, sf_dir: str, vacuumed: bool) -> s
                         positions=True, aqe_coalesce=True),
         )
         stream_dir = tempfile.mkdtemp(prefix="ftc_updstream_")
-        docs.where(F.pmod("doc_id", F.lit(17)) == 0).select(
-            F.format_string("doc://%08d", "doc_id").alias("url"),
-            F.lit("2024-02-01").cast("timestamp").alias("warc_ts"),
-            F.lit(None).cast("binary").alias("html"),
-            _updated_text_expr().alias("text"),
-            "lang",
-        ).write.mode("overwrite").parquet(stream_dir)
-        incremental_refresh(spark, stream_dir, idx, num_buckets=8)
-        state = {"idx": idx, "vacuumed": False}
+        upd = docs.where(F.pmod("doc_id", F.lit(17)) == 0)
+        # two refresh rounds (urls disjoint, so n_docs/score classes are
+        # identical to a single round) -> at least two chunk=stream_* dirs,
+        # giving the tiered fold gate real multi-chunk input
+        for half, mode in ((0, "overwrite"), (1, "append")):
+            upd.where(F.pmod("doc_id", F.lit(2)) == half).select(
+                F.format_string("doc://%08d", "doc_id").alias("url"),
+                F.lit("2024-02-01").cast("timestamp").alias("warc_ts"),
+                F.lit(None).cast("binary").alias("html"),
+                _updated_text_expr().alias("text"),
+                "lang",
+            ).coalesce(1).write.mode(mode).parquet(stream_dir)
+            incremental_refresh(spark, stream_dir, idx, num_buckets=8)
+        state = {"idx": idx, "vacuumed": False, "tiered": False}
         _UPDATED_INDEX_CACHE[sf_dir] = state
+    if tiered and not state.get("tiered"):
+        from find_that_charity_spark.operators.build import compact_stream_chunks
+        from find_that_charity_spark.streaming.incremental import refresh_stats
+
+        n = compact_stream_chunks(spark, state["idx"], max_postings_per_segment=5000)
+        assert n >= 2 or state["vacuumed"], "tiered gate expected >=2 minor chunks"
+        refresh_stats(spark, state["idx"])
+        state["tiered"] = True
     if vacuumed and not state["vacuumed"]:
         vacuum_index(spark, state["idx"])
         state["vacuumed"] = True
@@ -183,6 +198,26 @@ def _q_segments_updated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic contract. k exceeds every possible match count, so
     the cutoff never binds."""
     idx = _ensure_updated_index(spark, sf_dir, vacuumed=False)
+    qdf = spark.createDataFrame(
+        [("q1", "zzupdated", 50_000, "freetext")],
+        "qid string, text string, k int, mode string",
+    )
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    return res.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
+    )
+
+
+def _q_segments_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-term query over the updated index AFTER a tiered minor
+    compaction (operators/build.py compact_stream_chunks): the two
+    streaming-append chunks are folded into one tier chunk — base chunks
+    hard-linked, per-term sub-segments merged positional-/codec-aware —
+    and scoring must stay value-identical to the oracle over the
+    post-update corpus (df of the marker term and refreshed n_docs/avgdl
+    are exact pre-vacuum, as in bm25_segments_updated_docs)."""
+    idx = _ensure_updated_index(spark, sf_dir, vacuumed=False, tiered=True)
     qdf = spark.createDataFrame(
         [("q1", "zzupdated", 50_000, "freetext")],
         "qid string, text string, k int, mode string",
@@ -714,6 +749,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_sharded": _q_segments_sharded,
         "bm25_segments_pfor": _q_segments_pfor,
         "bm25_segments_updated_docs": _q_segments_updated_docs,
+        "bm25_segments_tiered": _q_segments_tiered,
         "bm25_segments_after_update": _q_segments_after_update,
         "index_stats": _q_index_stats,
         "bm25_topk_flagship": _q_bm25_flagship,
@@ -784,6 +820,11 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_sharded": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_segments_pfor": bm25_topk_sql(FLAGSHIP_QUERY, k=10),
         "bm25_segments_updated_docs": (
+            "SELECT doc_id, score_mil FROM ("
+            + bm25_topk_sql("zzupdated", k=50_000, table=_UPDATED_TABLE_SQL)
+            + ") t"
+        ),
+        "bm25_segments_tiered": (
             "SELECT doc_id, score_mil FROM ("
             + bm25_topk_sql("zzupdated", k=50_000, table=_UPDATED_TABLE_SQL)
             + ") t"

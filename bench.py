@@ -51,7 +51,8 @@ HEADLINE = [
     "add_to_csv_recon",     # comparable via queries_r01_subtotal
     "bm25_segments_updated_docs",   # added round 4: document-update path
     "bm25_segments_after_update",   # (index built in untimed setup)
-]
+    "bm25_segments_tiered",         # added round 5: query over the
+]                                   # minor-compacted (tiered) store
 
 _R01_QUERIES = 19  # first 19 entries above == the round-1 headline set
 _R02_QUERIES = 22  # first 22 == the round-2 AND round-3 headline sets
@@ -155,6 +156,9 @@ def main() -> None:
     # through the streaming-update + vacuum pipeline — index CONSTRUCTION
     # is untimed setup here (build throughput is the engine block's
     # metric); the timed gate is the query over the updated store
+    # tiered fold runs BEFORE the vacuum (matching the driver's gate
+    # order) so the fold has real multi-chunk input; both are untimed
+    entrymod._ensure_updated_index(spark, sf_dir, vacuumed=False, tiered=True)
     entrymod._ensure_updated_index(spark, sf_dir, vacuumed=True)
 
     # fixed-work machine calibration, reported alongside the timings: the

@@ -356,6 +356,108 @@ def _recover_segment_swap(index_dir: str) -> None:
             shutil.rmtree(leftover)
 
 
+def _link_tree(src: str, dst: str) -> None:
+    """Replicate a directory tree with hard links — O(#files) metadata
+    ops, zero data bytes moved (parquet files are write-once, so sharing
+    the inode is safe). Falls back to a copy on filesystems that refuse
+    cross-link (object-store mounts)."""
+    for dirpath, _dirs, files in os.walk(src):
+        rel = os.path.relpath(dirpath, src)
+        out_dir = dst if rel == "." else os.path.join(dst, rel)
+        os.makedirs(out_dir, exist_ok=True)
+        for fn in files:
+            s = os.path.join(dirpath, fn)
+            d = os.path.join(out_dir, fn)
+            try:
+                os.link(s, d)
+            except OSError:
+                shutil.copy2(s, d)
+
+
+def compact_stream_chunks(
+    spark: SparkSession,
+    index_dir: str,
+    max_postings_per_segment: int = 1_000_000,
+    block_codec: str = "varint",
+    min_chunks: int = 2,
+) -> int:
+    """Tiered MINOR compaction — the Lucene TieredMergePolicy analog for
+    streaming appends.
+
+    ``compact_segments`` (C10) is a MAJOR compaction: when any term
+    merges it rewrites the whole store into one chunk — O(index) bytes,
+    unacceptable as routine maintenance at 100 TB. Streaming appends
+    (`incremental_refresh`) add one ``chunk=stream_*`` dir per epoch, so
+    an always-on ingest fragments the store without bound: every query's
+    segment scan lists and prunes ever more files, and hot terms spread
+    over one tiny posting list per epoch.
+
+    This folds ONLY the minor chunks — ``chunk=stream_*`` plus any
+    ``chunk=tier*`` produced by previous folds — into a single new
+    ``chunk=tier<g>``: per-term sub-segments that fit one segment are
+    decoded/concatenated/re-encoded (positional- and codec-aware via
+    ``_merge_group``), the rest pass through. Base chunks cross into the
+    new store as HARD LINKS (``_link_tree``): the swap costs O(streamed
+    bytes) + O(#base files) metadata ops, never O(index bytes). Crash
+    safety reuses the exact ``segments_compacted``/``segments_old``
+    rename protocol of C10, so ``_recover_segment_swap`` finishes any
+    interrupted fold.
+
+    After a fold the streamed units' chunk dirs are gone; the next
+    ``refresh_stats`` detects that, falls back to one full (column-
+    pruned, blob-free) dictionary recompute and re-snapshots
+    ``dictionary_base``, making later refreshes incremental again. The
+    dictionary's df/cf are unchanged by the fold (merge preserves both),
+    so queries between the fold and that refresh stay exact.
+
+    Returns the number of minor chunks folded (0 = below ``min_chunks``,
+    nothing touched)."""
+    _recover_segment_swap(index_dir)
+    seg_root = f"{index_dir}/segments"
+    chunks = [d for d in os.listdir(seg_root) if d.startswith("chunk=")]
+    minor = sorted(
+        d for d in chunks
+        if d.startswith("chunk=stream_") or d.startswith("chunk=tier")
+    )
+    if len(minor) < min_chunks:
+        return 0
+    base_chunks = sorted(set(chunks) - set(minor))
+    gen = 1 + max(
+        (int(d[len("chunk=tier"):]) for d in minor if d.startswith("chunk=tier")),
+        default=0,
+    )
+    raw = (
+        spark.read.option("basePath", seg_root)
+        .parquet(*[f"{seg_root}/{d}" for d in minor])
+        .drop("chunk")
+    )
+    seg_sizes = raw.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_seg"), F.sum("df").alias("total_df")
+    )
+    mergeable = seg_sizes.where(
+        (F.col("n_seg") > 1) & (F.col("total_df") <= max_postings_per_segment)
+    ).select("term")
+    to_merge = raw.join(F.broadcast(mergeable), "term")
+    untouched = raw.join(F.broadcast(mergeable), "term", "left_anti")
+    merged = to_merge.groupBy("term").applyInPandas(
+        _merge_group(codec=block_codec), SEGMENT_SCHEMA
+    )
+    final = untouched.select(SEGMENT_SCHEMA.fieldNames()).unionByName(
+        merged.select(SEGMENT_SCHEMA.fieldNames())
+    )
+    tmp = f"{index_dir}/segments_compacted"
+    final.write.mode("overwrite").partitionBy("bucket").parquet(
+        f"{tmp}/chunk=tier{gen}"
+    )
+    for d in base_chunks:
+        _link_tree(f"{seg_root}/{d}", f"{tmp}/{d}")
+    backup = f"{index_dir}/segments_old"
+    os.rename(seg_root, backup)
+    os.rename(tmp, seg_root)
+    shutil.rmtree(backup)
+    return len(minor)
+
+
 def build_index(
     spark: SparkSession,
     corpus_source: str | DataFrame,

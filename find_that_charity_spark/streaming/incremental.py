@@ -551,6 +551,7 @@ def incremental_refresh(
     num_buckets: int = 32,
     checkpoint_dir: str | None = None,
     block_codec: str = "varint",
+    auto_compact_streams: int | None = None,
 ) -> None:
     """Drain new corpus files into the index (Trigger.AvailableNow), then
     refresh global stats. Idempotent per-source-file via the streaming
@@ -559,7 +560,16 @@ def incremental_refresh(
     ``block_codec`` may differ from the base index's codec: blobs are
     self-describing (functions/codec.py), so a varint base accepting
     pfor appends is a supported mixed store
-    (tests/test_pfor_integration.py::test_mixed_codec_streaming_appends)."""
+    (tests/test_pfor_integration.py::test_mixed_codec_streaming_appends).
+
+    ``auto_compact_streams`` is the tiered merge policy knob (Lucene's
+    segmentsPerTier analog): when the number of minor chunks
+    (``chunk=stream_*`` + ``chunk=tier*``) reaches the threshold, fold
+    them into one tier chunk (``operators.build.compact_stream_chunks``)
+    BEFORE the stats refresh — so the refresh's full-dictionary fallback
+    runs at most once per fold, and an always-on ingest keeps a bounded
+    chunk count instead of one chunk per epoch forever. None (default)
+    never folds."""
     import hashlib
 
     checkpoint = checkpoint_dir or f"{index_dir}/_stream_checkpoint"
@@ -581,4 +591,11 @@ def incremental_refresh(
         .start()
     )
     q.awaitTermination()
+    if auto_compact_streams is not None:
+        from find_that_charity_spark.operators.build import compact_stream_chunks
+
+        compact_stream_chunks(
+            spark, index_dir, block_codec=block_codec,
+            min_chunks=auto_compact_streams,
+        )
     refresh_stats(spark, index_dir)
