@@ -44,7 +44,7 @@ from find_that_charity_spark.sources.corpus import read_table
 
 import tempfile
 
-from find_that_charity_spark.functions.analyzer import analyze_name
+from find_that_charity_spark.functions.analyzer import analyze, analyze_name
 from find_that_charity_spark.operators.build import BuildConfig, build_index
 from find_that_charity_spark.operators.query import run_queries
 
@@ -207,6 +207,28 @@ def _q_segments_updated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
         F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
     )
+
+
+def _q_facet_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 facet gate: ES terms-aggregation analog — count every doc
+    matching ANY flagship term, grouped by lang, over the segment index
+    (pushed dictionary IN-list, bucket-pruned postings scan, Arrow
+    decode, one distinct over matched ids; operators/facets.py)."""
+    from find_that_charity_spark.operators.facets import facet_counts
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    return facet_counts(spark, idx, FLAGSHIP_QUERY, facet_col="lang")
+
+
+def _q_facet_lang_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Facet gate over the UPDATED index pre-vacuum: superseded rows
+    still sit in the postings and DO contain flagship terms, so the
+    tombstone-exclusion anti-join inside facet_counts is load-bearing —
+    the oracle counts only the live post-update corpus."""
+    from find_that_charity_spark.operators.facets import facet_counts
+
+    idx = _ensure_updated_index(spark, sf_dir, vacuumed=False)
+    return facet_counts(spark, idx, FLAGSHIP_QUERY, facet_col="lang")
 
 
 def _q_segments_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -748,7 +770,9 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_fuzzy": _q_segments_fuzzy,
         "bm25_segments_sharded": _q_segments_sharded,
         "bm25_segments_pfor": _q_segments_pfor,
+        "bm25_facet_lang": _q_facet_lang,
         "bm25_segments_updated_docs": _q_segments_updated_docs,
+        "bm25_facet_lang_updated": _q_facet_lang_updated,
         "bm25_segments_tiered": _q_segments_tiered,
         "bm25_segments_after_update": _q_segments_after_update,
         "index_stats": _q_index_stats,
@@ -791,6 +815,22 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 _TOKS = f"regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}')"
 
+
+def _facet_lang_sql(table: str) -> str:
+    """D8 oracle: docs matching ANY flagship term, counted per lang —
+    the exact OR-match set facet_counts computes from the postings.
+    ``table`` supplies the text (post-update corpora swap it); lang
+    always joins from the base documents table, which every corpus
+    variant preserves."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(analyze(FLAGSHIP_QUERY))))
+    toks = f"regexp_extract_all(lower(d.text), '{ASCII_TOKEN_PATTERN}')"
+    return f"""
+        SELECT documents.lang AS facet, CAST(count(*) AS BIGINT) AS matches
+        FROM {table} d JOIN documents ON d.doc_id = documents.doc_id
+        WHERE len(list_filter({toks}, x -> x IN ({terms}))) > 0
+        GROUP BY documents.lang
+    """
+
 # Exact cosine top-10 of vec 0 — the oracle for the brute-force gate AND
 # for the full-probe LSH/IVF gates (which degenerate to exact search).
 _ANN_BRUTE_SQL = """
@@ -824,6 +864,8 @@ def oracle_sql() -> dict[str, str]:
             + bm25_topk_sql("zzupdated", k=50_000, table=_UPDATED_TABLE_SQL)
             + ") t"
         ),
+        "bm25_facet_lang": _facet_lang_sql("documents"),
+        "bm25_facet_lang_updated": _facet_lang_sql(_UPDATED_TABLE_SQL),
         "bm25_segments_tiered": (
             "SELECT doc_id, score_mil FROM ("
             + bm25_topk_sql("zzupdated", k=50_000, table=_UPDATED_TABLE_SQL)
