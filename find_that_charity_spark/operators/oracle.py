@@ -26,6 +26,7 @@ def brute_force_phrase_topk(
     query_text: str,
     k: int = 10,
     analyzer: Callable[[str], list[str]] = analyze,
+    include=None,
 ) -> list[tuple[int, float]]:
     """Exhaustive phrase top-k (ES match_phrase / Lucene PhraseQuery):
     weight = sum of idf over query token occurrences; tf = number of exact
@@ -48,7 +49,10 @@ def brute_force_phrase_topk(
     weight = float(sum(idf_np(float(n), float(dfs[t])) for t in q))
     out = []
     m = len(q)
+    allowed = None if include is None else set(int(d) for d in include)
     for i, toks in enumerate(tokenized):
+        if allowed is not None and int(doc_ids[i]) not in allowed:
+            continue
         pf = sum(1 for p in range(len(toks) - m + 1) if toks[p : p + m] == q)
         if pf:
             score = weight * float(
@@ -67,13 +71,17 @@ def brute_force_topk(
     analyzer: Callable[[str], list[str]] = analyze,
     query_analyzer: Callable[[str], list[str]] | None = None,
     conjunctive: bool = False,
+    min_match: int = 1,
+    include=None,
 ) -> list[tuple[int, float]]:
     """Exhaustive BM25 top-k: [(doc_id, score)] by (score DESC, doc_id ASC).
 
     OR semantics by default (B5): documents with no query term are never
     returned (ES ``match``). ``conjunctive=True`` requires every positive
     term (ES bool must); query words prefixed ``-`` are exclusions (D7,
-    ES bool must_not). A required term absent from the corpus -> no hits.
+    ES bool must_not); ``min_match`` > 1 keeps only docs matching at
+    least that many distinct positive terms (ES minimum_should_match).
+    A required term absent from the corpus -> no hits.
     """
     qa = query_analyzer or analyzer
     pos_terms: set[str] = set()
@@ -110,6 +118,11 @@ def brute_force_topk(
 
     if conjunctive:
         matched &= n_terms_matched == len(terms)
+    if min_match > 1:
+        matched &= n_terms_matched >= min_match
+    if include is not None:
+        allowed = set(int(d) for d in include)
+        matched &= np.array([int(d) in allowed for d in doc_ids], dtype=bool)
     for term in sorted(neg_terms):
         has = np.array([c.get(term, 0) > 0 for c in counters], dtype=bool)
         matched &= ~has

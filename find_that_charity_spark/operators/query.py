@@ -102,6 +102,7 @@ def score_query_bmw(
     avgdl: float,
     stats: dict | None = None,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Window-sweep Block-Max WAND: exact top-k with block skipping.
 
@@ -113,7 +114,13 @@ def score_query_bmw(
     Applied when candidates enter the heap; block upper bounds still count
     excluded postings, which only ever OVER-estimates, so pruning stays
     safe (the ES/Lucene analog: deleted docs still shape skip data until
-    a merge drops them)."""
+    a merge drops them).
+
+    ``include`` (sorted int64, optional): ES filter-context POSITIVE
+    filter — only these doc ids may enter the heap; scoring stats are
+    untouched (the Lucene analog: the filter bitset intersects the
+    scorer's DISI, norms/idf unchanged). Same safe over-estimate argument
+    as ``exclude``."""
     from find_that_charity_spark.functions.codec import tfnorm as _tfn
 
     if not cursors or k <= 0:
@@ -181,6 +188,9 @@ def score_query_bmw(
             np.add.at(total, inv, scores)
             if exclude is not None and exclude.size:
                 keep = ~_member_mask(exclude, uniq)
+                uniq, total = uniq[keep], total[keep]
+            if include is not None:
+                keep = _member_mask(include, uniq)
                 uniq, total = uniq[keep], total[keep]
             for d, sc in zip(uniq.tolist(), total.tolist()):
                 entry = (sc, -d)
@@ -275,6 +285,7 @@ def score_phrase(
     avgdl: float,
     k: int,
     exclude: np.ndarray | None = None,
+    include: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact phrase top-k (ES match_phrase / Lucene PhraseQuery analog).
 
@@ -306,6 +317,11 @@ def score_phrase(
         # tombstoned (updated/deleted) docs leave the candidate set before
         # the position gather — cheapest possible point to drop them
         base = base[~_member_mask(exclude, base)]
+        if base.size == 0:
+            return []
+    if include is not None:
+        # filter context (positive): same pre-gather drop point
+        base = base[_member_mask(include, base)]
         if base.size == 0:
             return []
     weight = sum(idfs[t] * len(offs) for t, offs in q_offsets.items())
@@ -380,10 +396,16 @@ def score_boolean(
     conjunctive: bool,
     neg_docs: np.ndarray,
     k: int,
+    min_match: int = 1,
+    include: np.ndarray | None = None,
 ) -> list[tuple[int, float]]:
     """Exact boolean scoring: AND = intersection driven by the rarest term
     (searchsorted membership), OR = unique+accumulate; NOT = exclusion set.
-    All docID-sorted numpy, no per-posting Python."""
+    ``min_match`` > 1 is ES minimum_should_match: keep only docs matching
+    at least that many DISTINCT positive terms (a doc appears at most once
+    per term's postings, so the per-doc occurrence count across term lists
+    IS the distinct-term count). All docID-sorted numpy, no per-posting
+    Python."""
     if not term_lists:
         return []
     if conjunctive:
@@ -404,15 +426,23 @@ def score_boolean(
         uniq, inv = np.unique(docs, return_inverse=True)
         total = np.zeros(len(uniq))
         np.add.at(total, inv, scores)
+        if min_match > 1:
+            n_terms = np.bincount(inv, minlength=len(uniq))
+            keep = n_terms >= min_match
+            uniq, total = uniq[keep], total[keep]
     if neg_docs.size:
         keep = ~_member_mask(neg_docs, uniq)
+        uniq, total = uniq[keep], total[keep]
+    if include is not None:
+        keep = _member_mask(include, uniq)
         uniq, total = uniq[keep], total[keep]
     order = np.lexsort((uniq, -total))[:k]
     return [(int(uniq[i]), float(total[i])) for i in order]
 
 
 def make_query_scorer(
-    n_docs: int, avgdl: float, use_bmw: bool = True, tombstones=None
+    n_docs: int, avgdl: float, use_bmw: bool = True, tombstones=None,
+    include=None,
 ):
     """applyInPandas scorer over per-qid groups of (term, segment) rows.
 
@@ -423,14 +453,24 @@ def make_query_scorer(
     ``tombstones``: sorted int64 array of superseded doc ids (document
     updates/deletes — streaming/incremental.py), or a Spark Broadcast of
     one (ships once per executor instead of once per task closure).
-    Excluded from every result; physically dropped by vacuum_index."""
+    Excluded from every result; physically dropped by vacuum_index.
+
+    ``include``: sorted int64 array (or Broadcast) of the ES filter-
+    context POSITIVE set — only these ids may appear in any result;
+    scoring stats untouched (run_queries.include_doc_ids)."""
 
     def score(pdf: pd.DataFrame) -> pd.DataFrame:
         tomb = tombstones.value if hasattr(tombstones, "value") else tombstones
+        inc = include.value if hasattr(include, "value") else include
         qid = pdf["qid"].iloc[0]
         k = int(pdf["k"].iloc[0])
         mode = pdf["mode"].iloc[0]
         conjunctive = mode == "bool_and"
+        # ES minimum_should_match: mode "min_should:<m>" keeps only docs
+        # matching >= m distinct positive terms, scored as a plain OR
+        min_match = (
+            int(mode.split(":", 1)[1]) if mode.startswith("min_should") else 1
+        )
         # sharded mode: this group covers one doc range of one query
         lo = int(pdf["range_lo"].iloc[0]) if "range_lo" in pdf.columns else None
         hi = int(pdf["range_hi"].iloc[0]) if "range_hi" in pdf.columns else None
@@ -475,8 +515,10 @@ def make_query_scorer(
                     np.concatenate([p[2] for p in parts]),
                     np.concatenate([p[3] for p in parts]),
                 )
-            top = score_phrase(term_data, q_offsets, idfs, avgdl, k, exclude=tomb)
-        elif conjunctive or not negs.empty or sharded or not use_bmw:
+            top = score_phrase(
+                term_data, q_offsets, idfs, avgdl, k, exclude=tomb, include=inc
+            )
+        elif conjunctive or min_match > 1 or not negs.empty or sharded or not use_bmw:
             term_lists: dict[str, tuple[np.ndarray, np.ndarray]] = {}
             for term, grp in pos.groupby("term", sort=True):
                 parts = [_decode_cursor_range(c, avgdl, lo, hi) for c in cursors_of(grp)]
@@ -497,12 +539,14 @@ def make_query_scorer(
             if tomb is not None and tomb.size:
                 # tombstones ride the existing NOT-exclusion path (D7)
                 neg_docs = np.union1d(neg_docs, tomb)
-            top = score_boolean(term_lists, conjunctive, neg_docs, k)
+            top = score_boolean(
+                term_lists, conjunctive, neg_docs, k, min_match, include=inc
+            )
         else:
             cursors: list[_Cursor] = []
             for term, grp in pos.groupby("term", sort=True):
                 cursors.extend(cursors_of(grp))
-            top = score_query_bmw(cursors, k, avgdl, exclude=tomb)
+            top = score_query_bmw(cursors, k, avgdl, exclude=tomb, include=inc)
         return pd.DataFrame(
             {
                 "qid": qid,
@@ -1005,6 +1049,7 @@ def run_queries(
     doc_shards: int | None = None,
     localize_threshold: int = 10_000,
     exclude_doc_ids: "np.ndarray | None" = None,
+    include_doc_ids: "np.ndarray | None" = None,
     prefetched_qrows: list | None = None,
 ) -> DataFrame:
     """Answer a batch of queries (qid, text, k, mode) against the index.
@@ -1018,6 +1063,15 @@ def run_queries(
     Rides the tombstone exclusion broadcast; applied before top-k
     selection in every scoring path, so results are the exact top-k of
     the allowed set.
+
+    ``include_doc_ids`` (sorted int64, optional): the POSITIVE filter
+    context — only these docs may appear in any result, scoring stats
+    still over the full corpus (ES bool filter / Lucene filter-bitset
+    DISI intersection). Exact: applied before top-k selection in every
+    scoring path. Derive it from a pushed-down docs-table predicate
+    (e.g. a warc_ts range or lang filter) — at scale the set is a
+    per-executor broadcast, so keep filters selective or prefer -term
+    exclusions for stop-word-sized complements.
 
     ``doc_shards``: when set, each query is scored in S parallel doc-range
     shards (every term's postings for a doc live in the same range, so
@@ -1033,6 +1087,13 @@ def run_queries(
     # one broadcast per batch: the (small, vacuum-bounded) tombstone set
     # ships once per executor, not once per scorer task closure
     tomb_bc = spark.sparkContext.broadcast(tomb) if tomb.size else None
+    include_bc = (
+        spark.sparkContext.broadcast(
+            np.asarray(include_doc_ids, dtype=np.int64)
+        )
+        if include_doc_ids is not None
+        else None
+    )
     dictionary = spark.read.parquet(f"{index_dir}/dictionary")
 
     # SMALL batches take the driver-side analysis shortcut: plain-Python
@@ -1060,7 +1121,7 @@ def run_queries(
         return _score_matched(
             spark, index_dir, F.broadcast(matched_local.drop("bucket")),
             buckets, matched_local, n_docs, avgdl, use_bmw, tomb_bc,
-            doc_shards, join_urls,
+            doc_shards, join_urls, include_bc,
         )
 
     # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
@@ -1212,7 +1273,7 @@ def run_queries(
 
     return _score_matched(
         spark, index_dir, matched_side, buckets, matched,
-        n_docs, avgdl, use_bmw, tomb_bc, doc_shards, join_urls,
+        n_docs, avgdl, use_bmw, tomb_bc, doc_shards, join_urls, include_bc,
     )
 
 
@@ -1228,6 +1289,7 @@ def _score_matched(
     tomb_bc,
     doc_shards: int | None,
     join_urls: bool,
+    include_bc=None,
 ) -> DataFrame:
     """Scoring tail shared by the distributed and driver-side analysis
     paths: pruned segment scan -> broadcast matched-term join -> per-qid
@@ -1245,7 +1307,9 @@ def _score_matched(
         "has_positions", "postings", "blockmax",
     )
 
-    scorer = make_query_scorer(n_docs, avgdl, use_bmw=use_bmw, tombstones=tomb_bc)
+    scorer = make_query_scorer(
+        n_docs, avgdl, use_bmw=use_bmw, tombstones=tomb_bc, include=include_bc
+    )
     if doc_shards and doc_shards > 1:
         span = max(1, -(-(n_docs) // doc_shards))  # ceil
         # explode each segment row to the doc-range shards it overlaps;
