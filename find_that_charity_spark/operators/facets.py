@@ -58,6 +58,41 @@ def _decode_ids(it):
         )
 
 
+def _matched_live_ids(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> DataFrame | None:
+    """Distinct live doc_ids matching ANY of ``terms`` (the ES filter-
+    context match set): pushed IN-list dictionary probe -> bucket-pruned
+    segments scan -> Arrow postings decode -> one distinct -> tombstone
+    anti-join. None when no term is in the dictionary."""
+    # D2: pushed IN-list probe of the dictionary — tiny result, collected
+    # driver-side to derive the bucket partition filter
+    matched = (
+        spark.read.parquet(f"{index_dir}/dictionary")
+        .where(F.col("term").isin(terms))
+        .select("term", "bucket")
+        .collect()
+    )
+    if not matched:
+        return None
+    buckets = sorted({r["bucket"] for r in matched})
+    hit_terms = sorted({r["term"] for r in matched})
+    segments = (
+        spark.read.parquet(f"{index_dir}/segments")
+        .where(F.col("bucket").isin(buckets))       # partition filter (D3)
+        .where(F.col("term").isin(hit_terms))       # row-group pushdown
+        .select("postings", "blockmax")
+    )
+    ids = segments.mapInPandas(_decode_ids, _IDS_SCHEMA).distinct()
+    tomb = read_tombstones(spark, index_dir)
+    if tomb.size:
+        tomb_df = spark.createDataFrame(
+            [(int(t),) for t in tomb], _IDS_SCHEMA
+        )
+        ids = ids.join(F.broadcast(tomb_df), "doc_id", "left_anti")
+    return ids
+
+
 def facet_counts(
     spark: SparkSession,
     index_dir: str,
@@ -79,33 +114,166 @@ def facet_counts(
     ).limit(0)
     if not terms:
         return empty
-    # D2: pushed IN-list probe of the dictionary — tiny result, collected
-    # driver-side to derive the bucket partition filter
-    matched = (
-        spark.read.parquet(f"{index_dir}/dictionary")
-        .where(F.col("term").isin(terms))
-        .select("term", "bucket")
-        .collect()
-    )
-    if not matched:
+    ids = _matched_live_ids(spark, index_dir, terms)
+    if ids is None:
         return empty
-    buckets = sorted({r["bucket"] for r in matched})
-    hit_terms = sorted({r["term"] for r in matched})
-    segments = (
-        spark.read.parquet(f"{index_dir}/segments")
-        .where(F.col("bucket").isin(buckets))       # partition filter (D3)
-        .where(F.col("term").isin(hit_terms))       # row-group pushdown
-        .select("postings", "blockmax")
-    )
-    ids = segments.mapInPandas(_decode_ids, _IDS_SCHEMA).distinct()
-    tomb = read_tombstones(spark, index_dir)
-    if tomb.size:
-        tomb_df = spark.createDataFrame(
-            [(int(t),) for t in tomb], _IDS_SCHEMA
-        )
-        ids = ids.join(F.broadcast(tomb_df), "doc_id", "left_anti")
     return (
         docs.join(ids, "doc_id")
         .groupBy(F.col(facet_col).cast("string").alias("facet"))
+        .agg(F.count(F.lit(1)).cast("long").alias("matches"))
+    )
+
+
+def search_after_page(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    sort_col: str,
+    after: tuple | None = None,
+    k: int = 10,
+    mode: str = "freetext",
+) -> DataFrame:
+    """ES ``search_after`` pagination over the match set, sorted by
+    (``sort_col`` DESC, doc_id ASC).
+
+    ``after`` is the cursor — the (sort_value, doc_id) of the LAST row of
+    the previous page; rows strictly after it in sort order form the next
+    page. Unlike from+size, a deep page never materializes its prefix:
+    the cursor predicate is a pushable filter on the joined docs rows, so
+    page 1000 costs the same one small top-k as page 1 (the exact reason
+    ES recommends search_after at depth).
+
+    Output: (doc_id, sort_key) — ``sort_key`` is ``sort_col`` cast to
+    long (numeric sort keys only, matching the quantized-gate contract).
+    """
+    check_format(index_dir)
+    analyzer = analyze_name if mode == "recon" else analyze
+    terms = sorted(set(analyzer(query_text)))
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    empty = docs.select(
+        F.col("doc_id").cast("long"),
+        F.col(sort_col).cast("long").alias("sort_key"),
+    ).limit(0)
+    if not terms:
+        return empty
+    ids = _matched_live_ids(spark, index_dir, terms)
+    if ids is None:
+        return empty
+    page = docs.join(ids, "doc_id").select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col(sort_col).cast("long").alias("sort_key"),
+    )
+    if after is not None:
+        a_key, a_id = int(after[0]), int(after[1])
+        page = page.where(
+            (F.col("sort_key") < a_key)
+            | ((F.col("sort_key") == a_key) & (F.col("doc_id") > a_id))
+        )
+    return page.orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(k)
+
+
+def significant_terms(
+    spark: SparkSession,
+    index_dir: str,
+    corpus: DataFrame,
+    query_text: str,
+    n: int = 10,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """ES significant_terms analog: terms over-represented in the match
+    set vs the whole corpus, scored with the JLH heuristic
+
+        score = (fg_rate - bg_rate) * (fg_rate / bg_rate)
+
+    where fg_rate = fg/|match set| (docs in the match set containing the
+    term) and bg_rate = df/N (the dictionary's corpus df). Output:
+    (term, fg_count, bg_count, score_mil) — top ``n`` by (score DESC,
+    term ASC); score is pure rational double arithmetic (no libm), so
+    both engines compute bit-identical values.
+
+    ``corpus`` must hold ONE row per live url (the deduped stored-field
+    view — a duplicate url would double-count its terms in fg).
+
+    Plan: match-set ids from the index (same pruned path as facets),
+    mapped to stored rows via the docs table's url identity (A2); ONLY
+    matched docs are re-analyzed (the ES "sampled term vectors" analog —
+    fg work is bounded by the query's df, not the corpus); bg df is a
+    dictionary join, no second corpus pass.
+    """
+    check_format(index_dir)
+    terms = sorted(set(analyze(query_text)))
+    out_schema = "term string, fg_count bigint, bg_count bigint, score_mil bigint"
+    if not terms:
+        return spark.createDataFrame([], out_schema)
+    ids = _matched_live_ids(spark, index_dir, terms)
+    if ids is None:
+        return spark.createDataFrame([], out_schema)
+    ids = ids.localCheckpoint()  # three consumers: count + join + nothing else re-decodes
+    fg_total = ids.count()
+    if fg_total == 0:
+        return spark.createDataFrame([], out_schema)
+    stats = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+    n_docs = int(stats["n_docs"])
+    docs_tbl = spark.read.parquet(f"{index_dir}/docs").select(
+        "doc_id", F.col("url").alias("__u")
+    )
+    matched_urls = docs_tbl.join(ids, "doc_id").select("__u")
+    from find_that_charity_spark.functions.analyzer import tokenize_expr
+
+    fg = (
+        corpus.join(matched_urls, corpus[url_col] == F.col("__u"), "left_semi")
+        .select(F.explode(F.array_distinct(tokenize_expr(text_col))).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("fg"))
+    )
+    bg = spark.read.parquet(f"{index_dir}/dictionary").select("term", "df")
+    fg_rate = F.col("fg") / F.lit(float(fg_total))
+    bg_rate = F.col("df") / F.lit(float(n_docs))
+    return (
+        fg.join(bg, "term")
+        .withColumn("score", (fg_rate - bg_rate) * (fg_rate / bg_rate))
+        .orderBy(F.desc("score"), F.asc("term"))
+        .limit(n)
+        .select(
+            "term",
+            F.col("fg").cast("bigint").alias("fg_count"),
+            F.col("df").cast("bigint").alias("bg_count"),
+            F.floor(F.col("score") * F.lit(1e6) + F.lit(0.5))
+            .cast("bigint")
+            .alias("score_mil"),
+        )
+    )
+
+
+def facet_histogram(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    value_col: str,
+    interval: int,
+    mode: str = "freetext",
+) -> DataFrame:
+    """(bucket_lo, matches) — the ES histogram-aggregation analog over the
+    match set: live docs matching ANY analyzed query term, bucketed by
+    ``floor(value/interval)*interval`` of a numeric docs-table column.
+    Same plan as :func:`facet_counts` (the groupBy key is the only
+    difference — one small shuffle over matched rows)."""
+    check_format(index_dir)
+    analyzer = analyze_name if mode == "recon" else analyze
+    terms = sorted(set(analyzer(query_text)))
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    bucket_lo = (
+        F.floor(F.col(value_col) / F.lit(interval)) * F.lit(interval)
+    ).cast("long").alias("bucket_lo")
+    empty = docs.select(bucket_lo, F.lit(0).cast("long").alias("matches")).limit(0)
+    if not terms:
+        return empty
+    ids = _matched_live_ids(spark, index_dir, terms)
+    if ids is None:
+        return empty
+    return (
+        docs.join(ids, "doc_id")
+        .groupBy(bucket_lo)
         .agg(F.count(F.lit(1)).cast("long").alias("matches"))
     )

@@ -147,6 +147,105 @@ def suggest(spark: SparkSession, index_dir: str, prefix: str, k: int = 10) -> li
     return [{"text": r["term"], "df": r["df"]} for r in rows]
 
 
+def prefix_topk(
+    spark: SparkSession, index_dir: str, prefix: str, k: int = 10
+) -> DataFrame:
+    """Prefix (wildcard ``term*``) query with Lucene's ``scoring_boolean``
+    multi-term rewrite [public: Lucene MultiTermQuery rewrite modes]:
+    expand the prefix against the dictionary, then score the expansions
+    as a plain OR — each expansion with its own idf.
+
+    Plan: ONE pruned dictionary prefix scan (same as A5 suggest) feeds
+    the expansion list; scoring rides run_queries' normal pruned-segment
+    path. Like Lucene, a prefix that expands to a huge term set is the
+    caller's foot-gun — ES caps it at max_expansions; we cap identically.
+    """
+    max_expansions = 1024  # ES multi-term default cap analog
+    d = spark.read.parquet(f"{index_dir}/dictionary")
+    terms = [
+        r["term"]
+        for r in d.where(F.col("term").startswith(prefix.lower()))
+        .orderBy(F.desc("df"), F.asc("term"))  # ES keeps the most frequent
+        .limit(max_expansions)
+        .collect()
+    ]
+    if not terms:
+        return spark.createDataFrame(
+            [], "qid string, rank int, doc_id long, score double"
+        )
+    qdf = spark.createDataFrame(
+        # expansions are analyzed tokens — re-analysis is identity
+        [("pq", " ".join(sorted(terms)), k, "freetext")],
+        "qid string, text string, k int, mode string",
+    )
+    return run_queries(spark, index_dir, qdf, use_bmw=True)
+
+
+def suggest_spelling(
+    spark: SparkSession, index_dir: str, term: str, k: int = 5
+) -> DataFrame:
+    """ES term-suggester ("did you mean") analog [public: ES term suggest
+    API; Lucene DirectSpellChecker]: dictionary terms within levenshtein
+    distance 1 of ``term``, ranked by (df DESC, term ASC) — ES's default
+    frequency sort with the deterministic tie-break. The input term
+    itself is never suggested (ES never returns the input).
+
+    Plan (the D7+ fuzzy machinery, suggestion polarity): the term's
+    deletion neighborhood (|t|+1 keys) is pushed as an IN-list into the
+    build-time ``fuzzy_keys`` table — an equi-join probe, never a
+    vocabulary-wide levenshtein scan (SymSpell [public]); the key-matched
+    candidate set (tiny) is verified with an exact edit-distance check
+    driver-side and the survivors' df comes from one pushed IN-list
+    dictionary probe. At web scale both probes touch O(len(term)) keys /
+    O(candidates) dictionary rows — independent of vocabulary size.
+
+    Output: (suggestion string, df bigint, distance int).
+    """
+    from find_that_charity_spark.functions.analyzer import analyze
+    from find_that_charity_spark.functions.fuzzy import deletion_keys, within_edit1
+
+    out_schema = "suggestion string, df bigint, distance int"
+    toks = analyze(term)
+    if len(toks) != 1:
+        return spark.createDataFrame([], out_schema)
+    t = toks[0]
+    keys = deletion_keys(t)
+    try:
+        cands = sorted(
+            {
+                r["term"]
+                for r in spark.read.parquet(f"{index_dir}/fuzzy_keys")
+                .where(F.col("key").isin(keys))
+                .select("term")
+                .collect()
+            }
+        )
+    except Exception:
+        # pre-fuzzy_keys index: exact-scan fallback (still correct; the
+        # deletion-key path is the scale path)
+        cands = sorted(
+            r["term"]
+            for r in spark.read.parquet(f"{index_dir}/dictionary")
+            .select("term")
+            .collect()
+        )
+    # shared key only bounds distance at 2 — exact verify, input excluded
+    verified = [c for c in cands if c != t and within_edit1(c, t)]
+    if not verified:
+        return spark.createDataFrame([], out_schema)
+    return (
+        spark.read.parquet(f"{index_dir}/dictionary")
+        .where(F.col("term").isin(verified))
+        .select(
+            F.col("term").alias("suggestion"),
+            F.col("df").cast("bigint").alias("df"),
+            F.lit(1).cast("int").alias("distance"),
+        )
+        .orderBy(F.desc("df"), F.asc("suggestion"))
+        .limit(k)
+    )
+
+
 def add_to_csv(
     spark: SparkSession,
     index_dir: str,

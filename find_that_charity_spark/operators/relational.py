@@ -109,10 +109,17 @@ def bm25_topk_sql(
     table: str = "documents",
     analyzer=analyze,
     conjunctive: bool = False,
+    min_should_match: int | None = None,
+    include_where: str | None = None,
 ) -> str:
     """DuckDB oracle twin of :func:`bm25_topk` / the segment engine — same
     math, same aliases. Supports D7 semantics: ``conjunctive`` requires all
-    positive terms; query words prefixed ``-`` become exclusions."""
+    positive terms; query words prefixed ``-`` become exclusions;
+    ``min_should_match`` keeps docs matching >= m distinct terms (ES
+    minimum_should_match — the engine's mode ``min_should:<m>``);
+    ``include_where`` is a predicate over ``{table}`` defining the ES
+    POSITIVE filter context (run_queries.include_doc_ids) — results
+    restricted, stats untouched."""
     pos: set[str] = set()
     neg: set[str] = set()
     for word in query_text.split():
@@ -121,11 +128,17 @@ def bm25_topk_sql(
     terms_list = ", ".join(f"('{t}')" for t in terms)
     score_expr = bm25_sql(tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl")
     having = f"HAVING count(DISTINCT tf.term) = {len(terms)}" if conjunctive else ""
+    if min_should_match is not None:
+        having = f"HAVING count(DISTINCT tf.term) >= {min_should_match}"
     neg_filter = ""
     if neg:
         neg_list = ", ".join(f"'{t}'" for t in sorted(neg))
         neg_filter = (
             f"AND tf.doc_id NOT IN (SELECT doc_id FROM tf WHERE term IN ({neg_list}))"
+        )
+    if include_where:
+        neg_filter += (
+            f" AND tf.doc_id IN (SELECT doc_id FROM {table} WHERE {include_where})"
         )
     return f"""
 WITH toks AS (
@@ -189,6 +202,62 @@ SELECT CAST(doc_id AS BIGINT) AS doc_id,
        CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_mil
 FROM scored
 ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def prefix_topk_sql(prefix: str, k: int = 10, table: str = "documents") -> str:
+    """DuckDB oracle for prefix (wildcard ``prefix*``) retrieval with the
+    scoring_boolean rewrite: expand against the corpus vocabulary, score
+    as OR with per-expansion idf. (The engine's max_expansions cap is
+    inert at gate scale — expansion counts are asserted tiny in tests.)"""
+    score_expr = bm25_sql(tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+s  AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+exp AS (SELECT DISTINCT term FROM tf WHERE term LIKE '{prefix.lower()}%'),
+d AS (SELECT tf.term, count(*) AS df FROM tf JOIN exp USING (term) GROUP BY 1),
+scored AS (
+  SELECT tf.doc_id, sum({score_expr}) AS score
+  FROM tf JOIN exp USING (term) JOIN d ON tf.term = d.term
+  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN s
+  GROUP BY tf.doc_id
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+       CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_mil
+FROM scored
+ORDER BY score DESC, doc_id ASC
+LIMIT {k}
+"""
+
+
+def suggest_spelling_sql(term: str, k: int = 5, table: str = "documents") -> str:
+    """DuckDB oracle for the term suggester: vocabulary terms at
+    levenshtein distance exactly 1 from ``term`` (the input itself never
+    suggested), ranked (df DESC, term ASC). The oracle runs the
+    vocabulary-wide levenshtein scan the engine's deletion-key equi-join
+    exists to avoid — same answer, different plan, which is the point of
+    the pairing."""
+    t = term.lower()
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM {table}
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+d  AS (SELECT term, count(*) AS df FROM tf GROUP BY 1)
+SELECT term AS suggestion,
+       CAST(df AS BIGINT) AS df,
+       CAST(1 AS INT) AS distance
+FROM d
+WHERE term <> '{t}' AND levenshtein(term, '{t}') <= 1
+ORDER BY df DESC, suggestion ASC
 LIMIT {k}
 """
 
