@@ -38,6 +38,8 @@ from find_that_charity_spark.operators.relational import (
     bm25_topk_sql,
     fuzzy_topk_sql,
     phrase_topk_sql,
+    prefix_topk_sql,
+    suggest_spelling_sql,
 )
 from find_that_charity_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
 from find_that_charity_spark.sources.corpus import read_table
@@ -229,6 +231,163 @@ def _q_facet_lang_updated(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     idx = _ensure_updated_index(spark, sf_dir, vacuumed=False)
     return facet_counts(spark, idx, FLAGSHIP_QUERY, facet_col="lang")
+
+
+def _q_facet_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 histogram facet: ES histogram-aggregation analog — matched live
+    docs bucketed by floor(doc_len/16)*16 over the index's own exact
+    token counts (operators/facets.py facet_histogram)."""
+    from find_that_charity_spark.operators.facets import facet_histogram
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    return facet_histogram(spark, idx, FLAGSHIP_QUERY, "doc_len", 16)
+
+
+def _q_segments_minshould(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7+ minimum_should_match: OR query keeping only docs that match
+    >= 3 of the 4 flagship terms (ES minimum_should_match; engine mode
+    ``min_should:3`` — the count-filtered boolean path)."""
+    return _segment_topk(spark, sf_dir, FLAGSHIP_QUERY, "min_should:3", k=10)
+
+
+def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 highlight: top-k + first query-term hit position from the
+    POSITIONAL POSTINGS (fast-vector-highlighter model) + a 5-token
+    snippet sliced from the re-analyzed stored field of only the k
+    result rows (operators/highlight.py)."""
+    from find_that_charity_spark.operators.highlight import highlight_topk
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    return highlight_topk(spark, idx, docs, FLAGSHIP_QUERY, k=10, window=5)
+
+
+def _q_segments_filter_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES POSITIVE filter context (bool filter): flagship top-k restricted
+    to lang='en' docs via run_queries(include_doc_ids=...) — the allowed
+    set comes from a pushed docs-table predicate; BM25 stats stay
+    corpus-wide (the oracle's IN-subselect twin proves exactness)."""
+    import numpy as np
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    inc = np.array(
+        sorted(
+            r["doc_id"]
+            for r in spark.read.parquet(f"{idx}/docs")
+            .where(F.col("lang") == "en")
+            .select("doc_id")
+            .collect()
+        ),
+        dtype=np.int64,
+    )
+    qdf = spark.createDataFrame(
+        [("q1", FLAGSHIP_QUERY, 10, "freetext")],
+        "qid string, text string, k int, mode string",
+    )
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True,
+                      include_doc_ids=inc)
+    return res.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
+    )
+
+
+def _q_prefix_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7+ prefix/wildcard query ``s*``: dictionary prefix expansion (6
+    terms at this sf) scored as OR with per-expansion idf — Lucene's
+    scoring_boolean multi-term rewrite (operators/recon.py prefix_topk)."""
+    from find_that_charity_spark.operators.recon import prefix_topk
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    res = prefix_topk(spark, idx, "s", k=10)
+    return res.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        F.col("rank").cast("int").alias("rank"),
+        F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
+    )
+
+
+SPELL_INPUTS = ("hast", "spart", "low")  # typos with 2 vocab neighbors each
+
+
+def _q_spell_suggest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12 term suggester ("did you mean"): for each misspelled input,
+    dictionary terms at edit distance 1 ranked (df DESC, term ASC) —
+    deletion-key equi-join probe of fuzzy_keys + exact verify, never a
+    vocabulary-wide levenshtein scan (operators/recon.py
+    suggest_spelling). Inputs chosen with TWO neighbors each (hast ->
+    fast/hash, spart -> spark/part, low -> row/slow) so ranking by df
+    is genuinely exercised."""
+    from find_that_charity_spark.operators.recon import suggest_spelling
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    out = None
+    for t in SPELL_INPUTS:
+        part = suggest_spelling(spark, idx, t, k=5).withColumn(
+            "input", F.lit(t)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.select("input", "suggestion", "df", "distance")
+
+
+def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ES search_after deep pagination: page 2 of the flagship match set
+    sorted by (doc_len DESC, doc_id ASC). The engine paginates with the
+    page-1 cursor (never materializing the prefix); the oracle proves
+    exactness with LIMIT/OFFSET over the same sort."""
+    from find_that_charity_spark.operators.facets import search_after_page
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    page1 = search_after_page(
+        spark, idx, FLAGSHIP_QUERY, "doc_len", after=None, k=10
+    ).collect()
+    assert len(page1) == 10, "gate premise: match set deeper than one page"
+    cursor = (int(page1[-1]["sort_key"]), int(page1[-1]["doc_id"]))
+    return search_after_page(
+        spark, idx, FLAGSHIP_QUERY, "doc_len", after=cursor, k=10
+    )
+
+
+def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 significant_terms: JLH-scored over-representation of terms in
+    the flagship match set vs the corpus (operators/facets.py). Score is
+    pure rational double arithmetic — bit-identical across engines."""
+    from find_that_charity_spark.operators.facets import significant_terms
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    corpus = read_table(spark, sf_dir, "documents").select(
+        F.format_string("doc://%08d", "doc_id").alias("url"), "text"
+    )
+    return significant_terms(spark, idx, corpus, FLAGSHIP_QUERY, n=10)
+
+
+MLT_SOURCE_DOC = 7  # fixed source document for the more_like_this gate
+
+
+def _q_more_like_this(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10 more_like_this: top-5 tf-idf terms of document 7 run as an OR
+    BM25 query, the source doc excluded via the filter-context hook
+    (operators/morelike.py; term tie-break (w DESC, term ASC) pinned so
+    the SQL oracle selects the identical term set)."""
+    from find_that_charity_spark.operators.morelike import more_like_this
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    text = (
+        read_table(spark, sf_dir, "documents")
+        .where(F.col("doc_id") == MLT_SOURCE_DOC)
+        .select("text")
+        .collect()[0]["text"]
+    )
+    out = more_like_this(
+        spark, idx, text,
+        exclude_urls=[f"doc://{MLT_SOURCE_DOC:08d}"], m=5, k=10,
+    )
+    return out.select(
+        F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
+        "rank",
+        "score_mil",
+    )
 
 
 def _q_segments_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -771,6 +930,15 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_segments_sharded": _q_segments_sharded,
         "bm25_segments_pfor": _q_segments_pfor,
         "bm25_facet_lang": _q_facet_lang,
+        "bm25_facet_histogram": _q_facet_histogram,
+        "bm25_segments_minshould": _q_segments_minshould,
+        "bm25_highlight": _q_highlight,
+        "more_like_this_doc": _q_more_like_this,
+        "significant_terms_flagship": _q_significant_terms,
+        "bm25_segments_filter_lang": _q_segments_filter_lang,
+        "bm25_prefix_query": _q_prefix_query,
+        "spell_suggest": _q_spell_suggest,
+        "search_after_page2": _q_search_after,
         "bm25_segments_updated_docs": _q_segments_updated_docs,
         "bm25_facet_lang_updated": _q_facet_lang_updated,
         "bm25_segments_tiered": _q_segments_tiered,
@@ -831,6 +999,153 @@ def _facet_lang_sql(table: str) -> str:
         GROUP BY documents.lang
     """
 
+def _facet_hist_sql(interval: int = 16) -> str:
+    """D8 histogram-facet oracle: matched docs bucketed by exact token
+    count (the index's doc_len) in fixed-width intervals."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(analyze(FLAGSHIP_QUERY))))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}') AS t
+          FROM documents
+        )
+        SELECT CAST(floor(len(t) / {interval}) * {interval} AS BIGINT) AS bucket_lo,
+               CAST(count(*) AS BIGINT) AS matches
+        FROM toks
+        WHERE len(list_filter(t, x -> x IN ({terms}))) > 0
+        GROUP BY 1
+    """
+
+
+def _highlight_sql(k: int = 10, window: int = 5) -> str:
+    """D9 oracle: flagship top-k + 1-based first query-term hit + the
+    ``window``-token snippet (DuckDB list slice is 1-based inclusive-end,
+    so [fh : fh+window-1] == Spark slice(toks, fh, window))."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(analyze(FLAGSHIP_QUERY))))
+    return f"""
+        WITH topk AS (SELECT * FROM ({bm25_topk_sql(FLAGSHIP_QUERY, k=k)}) t0),
+        docs_t AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}') AS toks
+          FROM documents
+        ),
+        tp AS (
+          SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS p
+          FROM docs_t
+        ),
+        fh AS (SELECT doc_id, min(p) AS fh FROM tp WHERE term IN ({terms}) GROUP BY 1)
+        SELECT t.doc_id, t.rank, t.score_mil,
+               CAST(fh.fh AS INT) AS first_hit,
+               array_to_string(d.toks[fh.fh : fh.fh + {window - 1}], ' ') AS snippet
+        FROM topk t JOIN fh ON t.doc_id = fh.doc_id
+        JOIN docs_t d ON t.doc_id = d.doc_id
+    """
+
+
+def _search_after_sql(offset: int = 10, k: int = 10) -> str:
+    """search_after oracle: the engine's cursor-paginated page 2 must
+    equal LIMIT k OFFSET k of the globally sorted match set."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(analyze(FLAGSHIP_QUERY))))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}') AS t
+          FROM documents
+        ),
+        m AS (
+          SELECT doc_id, len(t) AS sort_key FROM toks
+          WHERE len(list_filter(t, x -> x IN ({terms}))) > 0
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sort_key AS BIGINT) AS sort_key
+        FROM m
+        ORDER BY sort_key DESC, doc_id ASC
+        LIMIT {k} OFFSET {offset}
+    """
+
+
+def _sigterms_sql(n: int = 10) -> str:
+    """D11 oracle: JLH significance of terms in the flagship match set.
+    The score expression mirrors the engine's Column arithmetic op-for-op
+    (two divisions, one subtract, one multiply — no libm), so doubles are
+    bit-identical and the quantized hash cannot drift."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(analyze(FLAGSHIP_QUERY))))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}') AS t
+          FROM documents
+        ),
+        matched AS (
+          SELECT doc_id, t FROM toks
+          WHERE len(list_filter(t, x -> x IN ({terms}))) > 0
+        ),
+        fgt AS (SELECT count(*) AS n FROM matched),
+        n_all AS (SELECT count(*) AS n FROM toks),
+        fg AS (
+          SELECT term, count(*) AS fg
+          FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM matched)
+          GROUP BY 1
+        ),
+        bg AS (
+          SELECT term, count(*) AS df
+          FROM (SELECT doc_id, unnest(list_distinct(t)) AS term FROM toks)
+          GROUP BY 1
+        ),
+        scored AS (
+          SELECT fg.term, fg.fg, bg.df,
+                 ((fg.fg / (fgt.n * 1.0)) - (bg.df / (n_all.n * 1.0)))
+                 * ((fg.fg / (fgt.n * 1.0)) / (bg.df / (n_all.n * 1.0))) AS score
+          FROM fg JOIN bg USING (term) CROSS JOIN fgt CROSS JOIN n_all
+        )
+        SELECT term,
+               CAST(fg AS BIGINT) AS fg_count,
+               CAST(df AS BIGINT) AS bg_count,
+               CAST(floor(score * 1e6 + 0.5) AS BIGINT) AS score_mil
+        FROM scored
+        ORDER BY score DESC, term ASC
+        LIMIT {n}
+    """
+
+
+def _mlt_sql(source_doc: int, m: int = 5, k: int = 10) -> str:
+    """D10 oracle: top-m tf·idf terms of the source doc (tie-break
+    (w DESC, term ASC) — the operator's pinned contract), scored as an OR
+    BM25 query with the source doc excluded (filter context: stats
+    computed over the FULL corpus)."""
+    from find_that_charity_spark.functions.bm25 import bm25_sql
+
+    score_expr = bm25_sql(
+        tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl"
+    )
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, unnest(regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}')) AS term
+          FROM documents
+        ),
+        tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+        s  AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        dterms AS (SELECT term, tf AS tf_d FROM tf WHERE doc_id = {source_doc}),
+        dfq AS (SELECT tf.term, count(*) AS df FROM tf JOIN dterms USING (term) GROUP BY 1),
+        sel AS (
+          SELECT dterms.term FROM dterms JOIN dfq USING (term) CROSS JOIN s
+          ORDER BY dterms.tf_d * ln(1 + (s.n_docs - dfq.df + 0.5) / (dfq.df + 0.5)) DESC,
+                   dterms.term ASC
+          LIMIT {m}
+        ),
+        scored AS (
+          SELECT tf.doc_id, sum({score_expr}) AS score
+          FROM tf JOIN sel USING (term) JOIN dfq d ON tf.term = d.term
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN s
+          WHERE tf.doc_id <> {source_doc}
+          GROUP BY tf.doc_id
+        )
+        SELECT CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT) AS rank,
+               CAST(floor(score * 1e4 + 0.5) AS BIGINT) AS score_mil
+        FROM scored
+        ORDER BY score DESC, doc_id ASC
+        LIMIT {k}
+    """
+
+
 # Exact cosine top-10 of vec 0 — the oracle for the brute-force gate AND
 # for the full-probe LSH/IVF gates (which degenerate to exact search).
 _ANN_BRUTE_SQL = """
@@ -865,6 +1180,22 @@ def oracle_sql() -> dict[str, str]:
             + ") t"
         ),
         "bm25_facet_lang": _facet_lang_sql("documents"),
+        "bm25_facet_histogram": _facet_hist_sql(16),
+        "bm25_segments_minshould": bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, min_should_match=3
+        ),
+        "bm25_highlight": _highlight_sql(k=10, window=5),
+        "more_like_this_doc": _mlt_sql(MLT_SOURCE_DOC, m=5, k=10),
+        "significant_terms_flagship": _sigterms_sql(10),
+        "bm25_segments_filter_lang": bm25_topk_sql(
+            FLAGSHIP_QUERY, k=10, include_where="lang = 'en'"
+        ),
+        "bm25_prefix_query": prefix_topk_sql("s", k=10),
+        "spell_suggest": " UNION ALL ".join(
+            f"SELECT '{t}' AS input, * FROM ({suggest_spelling_sql(t, k=5)}) s{i}"
+            for i, t in enumerate(SPELL_INPUTS)
+        ),
+        "search_after_page2": _search_after_sql(offset=10, k=10),
         "bm25_facet_lang_updated": _facet_lang_sql(_UPDATED_TABLE_SQL),
         "bm25_segments_tiered": (
             "SELECT doc_id, score_mil FROM ("

@@ -52,7 +52,12 @@ HEADLINE = [
     "bm25_segments_updated_docs",   # added round 4: document-update path
     "bm25_segments_after_update",   # (index built in untimed setup)
     "bm25_segments_tiered",         # added round 5: query over the
-]                                   # minor-compacted (tiered) store
+                                    # minor-compacted (tiered) store
+    "bm25_segments_minshould",      # added round 5: search features —
+    "bm25_facet_lang",              # minimum_should_match, facet counts,
+    "bm25_highlight",               # positional highlight, more_like_this
+    "more_like_this_doc",
+]
 
 _R01_QUERIES = 19  # first 19 entries above == the round-1 headline set
 _R02_QUERIES = 22  # first 22 == the round-2 AND round-3 headline sets
