@@ -292,6 +292,7 @@ def compact_segments(
     index_dir: str,
     max_postings_per_segment: int,
     block_codec: str = "varint",
+    mergeable_df: DataFrame | None = None,
 ) -> int:
     """C10 — Lucene-merge analog, standalone maintenance operation.
 
@@ -302,6 +303,14 @@ def compact_segments(
     cap by construction) this is metadata-only — no copy of the segment
     store. Returns the number of terms consolidated.
 
+    ``mergeable_df`` (term, bucket), when given, replaces the discovery
+    scan: the caller already knows per-term (n_segments, df) — the build
+    passes a filter of the freshly written dictionary, so the no-merge
+    decision costs one dictionary-sized job instead of a groupBy over
+    the whole segment store (whose file count — and therefore scan cost
+    — grows with build parallelism; the discovery scan was the one build
+    stage measured getting SLOWER from local[2] to local[8]).
+
     The final swap is crash-safe: the old store is renamed aside before
     the new one moves in, so every intermediate state is recoverable
     (``_recover_segment_swap``) and a rerun of ``build_index`` never
@@ -310,13 +319,22 @@ def compact_segments(
     raw = spark.read.option("basePath", f"{index_dir}/segments").parquet(
         f"{index_dir}/segments/chunk=*"
     ).drop("chunk")
-    seg_sizes = raw.groupBy("term").agg(
-        F.count(F.lit(1)).alias("n_seg"), F.sum("df").alias("total_df")
-    )
-    mergeable = seg_sizes.where(
-        (F.col("n_seg") > 1) & (F.col("total_df") <= max_postings_per_segment)
-    ).select("term")
-    n_merged = mergeable.count()
+    if mergeable_df is not None:
+        merge_rows = mergeable_df.select("term", "bucket").collect()
+        n_merged = len(merge_rows)
+        mergeable = None
+        if n_merged:
+            mergeable = spark.createDataFrame(
+                [(r["term"],) for r in merge_rows], "term string"
+            )
+    else:
+        seg_sizes = raw.groupBy("term").agg(
+            F.count(F.lit(1)).alias("n_seg"), F.sum("df").alias("total_df")
+        )
+        mergeable = seg_sizes.where(
+            (F.col("n_seg") > 1) & (F.col("total_df") <= max_postings_per_segment)
+        ).select("term")
+        n_merged = mergeable.count()
     if n_merged > 0:
         to_merge = raw.join(F.broadcast(mergeable), "term")
         untouched = raw.join(F.broadcast(mergeable), "term", "left_anti")
@@ -778,44 +796,58 @@ def _build_index_body(
         if cfg.term_hash_shuffle and term_map is not None:
             term_map.unpersist()
 
-    # ---- stage: compact (C10) ------------------------------------------
-    if not mf.is_done("compact"):
-        t0 = time.time()
-        n_merged = (
-            compact_segments(
-                spark, index_dir, cfg.max_postings_per_segment, cfg.block_codec
-            )
-            if cfg.compact
-            else 0
-        )
-        mf.mark_done("compact", n_terms_merged=n_merged, wall_s=round(time.time() - t0, 3))
-
-    # ---- stage: dictionary (C11) ----------------------------------------
+    # ---- stage: dictionary (C11) — BEFORE compact since round 5 ---------
+    # The dictionary aggregation (term, bucket -> df, cf, n_segments) IS
+    # the compaction decision input: running it first lets the compact
+    # stage read mergeable terms from the tiny dictionary instead of
+    # re-scanning the whole segment store (whose parquet file count grows
+    # with build parallelism — the discovery scan was the one stage that
+    # got SLOWER from local[2] to local[8] in BENCH/SCALING_r05_attempt3).
+    # Stage order across versions is resume-safe: both flags are checked
+    # independently, and either order converges to the same final state.
     if not mf.is_done("dictionary"):
         t0 = time.time()
-        segs = spark.read.parquet(f"{index_dir}/segments")
-        dictionary = segs.groupBy("term", "bucket").agg(
-            F.sum("df").cast("long").alias("df"),
-            F.sum("cf").cast("long").alias("cf"),
-            F.count(F.lit(1)).cast("int").alias("n_segments"),
-        )
-        dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
-        # immutable base snapshot: incremental refresh recomputes the live
-        # dictionary as base + per-stream-chunk deltas (never a groupBy
-        # over the whole segment store again — VERDICT r02 item 4)
-        if os.path.exists(f"{index_dir}/dictionary_base"):
-            shutil.rmtree(f"{index_dir}/dictionary_base")
-        # hardlink snapshot: the base is immutable by contract (refresh
-        # only ever reads it) and parquet files are write-once, so links
-        # are safe and the driver-side copy cost drops to metadata ops
-        shutil.copytree(
-            f"{index_dir}/dictionary",
-            f"{index_dir}/dictionary_base",
-            copy_function=os.link,
-        )
-        n_terms = spark.read.parquet(f"{index_dir}/dictionary").count()
+        n_terms = _write_dictionary(spark, index_dir)
+        if mf.is_done("compact"):
+            # resuming a pre-round-5 manifest (old stage order: compact
+            # already done, dictionary pending): the compact stage won't
+            # run again, so its snapshot step happens here instead
+            _snapshot_dictionary_base(index_dir)
         mf.mark_done("dictionary", n_terms=n_terms, wall_s=round(time.time() - t0, 3))
         metrics["n_terms"] = n_terms
+
+    # ---- stage: compact (C10) ------------------------------------------
+    # Decision from the dictionary: a term is mergeable iff it has >1
+    # segment and its total df fits one cap. In the common batch case
+    # (multi-segment terms are salted heads that exceed the cap by
+    # construction) this is one dictionary-sized job and NO segment scan.
+    # On a genuine merge (over-salted tail terms) the dictionary is
+    # recomputed from the compacted store with an atomic swap. The
+    # immutable hardlink base snapshot (incremental refresh reads
+    # base + deltas — VERDICT r02 item 4) is (re)taken at the END of
+    # this stage so it always reflects the final dictionary; a crash
+    # anywhere in between reruns the stage (manifest) and converges.
+    if not mf.is_done("compact"):
+        t0 = time.time()
+        _recover_dictionary_swap(index_dir)
+        n_merged = 0
+        if cfg.compact:
+            mergeable = (
+                spark.read.parquet(f"{index_dir}/dictionary")
+                .where(
+                    (F.col("n_segments") > 1)
+                    & (F.col("df") <= cfg.max_postings_per_segment)
+                )
+                .select("term", "bucket")
+            )
+            n_merged = compact_segments(
+                spark, index_dir, cfg.max_postings_per_segment,
+                cfg.block_codec, mergeable_df=mergeable,
+            )
+            if n_merged:
+                _refresh_dictionary(spark, index_dir)
+        _snapshot_dictionary_base(index_dir)
+        mf.mark_done("compact", n_terms_merged=n_merged, wall_s=round(time.time() - t0, 3))
 
     # ---- stage: fuzzy_keys (D2 fuzzy acceleration) -----------------------
     # Deletion-neighborhood index (functions/fuzzy.py): |dict| * (len+1)
@@ -827,6 +859,74 @@ def _build_index_body(
         mf.mark_done("fuzzy_keys", wall_s=round(time.time() - t0, 3))
 
     return metrics
+
+
+def _write_dictionary(spark: SparkSession, index_dir: str) -> int:
+    """Aggregate the segment store into the dictionary (C11). Returns
+    the term count. Direct overwrite — only used while no consumer can
+    be reading (the dictionary stage of a build); the post-merge rewrite
+    uses the atomic :func:`_refresh_dictionary` swap instead."""
+    segs = spark.read.parquet(f"{index_dir}/segments")
+    dictionary = segs.groupBy("term", "bucket").agg(
+        F.sum("df").cast("long").alias("df"),
+        F.sum("cf").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("int").alias("n_segments"),
+    )
+    dictionary.write.mode("overwrite").parquet(f"{index_dir}/dictionary")
+    return spark.read.parquet(f"{index_dir}/dictionary").count()
+
+
+def _refresh_dictionary(spark: SparkSession, index_dir: str) -> None:
+    """Recompute the dictionary from the (just-compacted) segment store
+    with a crash-safe swap mirroring the segments one: write aside, old
+    aside, new in, drop old. A crash at any point is finished by
+    :func:`_recover_dictionary_swap` on the next compact-stage entry."""
+    d = f"{index_dir}/dictionary"
+    new, old = f"{d}_new", f"{d}_old"
+    segs = spark.read.parquet(f"{index_dir}/segments")
+    (
+        segs.groupBy("term", "bucket")
+        .agg(
+            F.sum("df").cast("long").alias("df"),
+            F.sum("cf").cast("long").alias("cf"),
+            F.count(F.lit(1)).cast("int").alias("n_segments"),
+        )
+        .write.mode("overwrite")
+        .parquet(new)
+    )
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    os.rename(d, old)
+    os.rename(new, d)
+    shutil.rmtree(old)
+
+
+def _recover_dictionary_swap(index_dir: str) -> None:
+    """Finish an interrupted :func:`_refresh_dictionary` swap, preferring
+    the newest complete table (same policy as ``_recover_segment_swap``)."""
+    d = f"{index_dir}/dictionary"
+    new, old = f"{d}_new", f"{d}_old"
+    if not os.path.exists(d):
+        if os.path.exists(new) and os.path.exists(f"{new}/_SUCCESS"):
+            os.rename(new, d)
+        elif os.path.exists(old):
+            os.rename(old, d)
+    for leftover in (new, old):
+        if os.path.exists(d) and os.path.exists(leftover):
+            shutil.rmtree(leftover)
+
+
+def _snapshot_dictionary_base(index_dir: str) -> None:
+    """(Re)take the immutable dictionary_base hardlink snapshot from the
+    current dictionary. The base is only read by incremental refresh
+    (base + per-stream-chunk deltas); parquet files are write-once, so
+    hardlinks are safe and the copy is metadata-only."""
+    base = f"{index_dir}/dictionary_base"
+    if os.path.exists(base):
+        shutil.rmtree(base)
+    shutil.copytree(
+        f"{index_dir}/dictionary", base, copy_function=os.link
+    )
 
 
 def write_fuzzy_keys(spark: SparkSession, index_dir: str) -> None:
