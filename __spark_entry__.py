@@ -250,6 +250,18 @@ def _q_segments_minshould(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _segment_topk(spark, sf_dir, FLAGSHIP_QUERY, "min_should:3", k=10)
 
 
+BOOSTED_QUERY = "spark^2 merge join^0.5 window"
+
+
+def _q_segments_boosted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D7+ per-term boost (Lucene ``term^2.5`` syntax): boost multiplies
+    the term's idf — scores AND Block-Max upper bounds scale together, so
+    WAND pruning stays exact. Repeated term takes the max boost (pinned
+    contract across the distributed, driver-batch and warm paths); the
+    oracle applies the identical parse and multiplies idf in SQL."""
+    return _segment_topk(spark, sf_dir, BOOSTED_QUERY, "freetext", k=10)
+
+
 def _q_highlight(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D9 highlight: top-k + first query-term hit position from the
     POSITIONAL POSTINGS (fast-vector-highlighter model) + a 5-token
@@ -932,6 +944,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_facet_lang": _q_facet_lang,
         "bm25_facet_histogram": _q_facet_histogram,
         "bm25_segments_minshould": _q_segments_minshould,
+        "bm25_segments_boosted": _q_segments_boosted,
         "bm25_highlight": _q_highlight,
         "more_like_this_doc": _q_more_like_this,
         "significant_terms_flagship": _q_significant_terms,
@@ -1184,6 +1197,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_segments_minshould": bm25_topk_sql(
             FLAGSHIP_QUERY, k=10, min_should_match=3
         ),
+        "bm25_segments_boosted": bm25_topk_sql(BOOSTED_QUERY, k=10),
         "bm25_highlight": _highlight_sql(k=10, window=5),
         "more_like_this_doc": _mlt_sql(MLT_SOURCE_DOC, m=5, k=10),
         "significant_terms_flagship": _sigterms_sql(10),

@@ -13,6 +13,8 @@ from __future__ import annotations
 from collections import Counter
 from collections.abc import Callable, Sequence
 
+import re
+
 import numpy as np
 
 from find_that_charity_spark.functions.analyzer import analyze
@@ -86,11 +88,20 @@ def brute_force_topk(
     qa = query_analyzer or analyzer
     pos_terms: set[str] = set()
     neg_terms: set[str] = set()
+    boosts: dict[str, float] = {}
     for word in (query_text or "").split():
+        # Lucene boost 'word^2.5' (D7+): strip before analysis, repeated
+        # term takes the max boost -- the engine's pinned contract
+        m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", word)
+        b = float(m.group(2)) if m else 1.0
+        wtext = m.group(1) if m else word
+        toks = qa(wtext.lstrip("-"))
         if word.startswith("-"):
-            neg_terms.update(qa(word[1:]))
+            neg_terms.update(toks)
         else:
-            pos_terms.update(qa(word))
+            pos_terms.update(toks)
+            for t in toks:
+                boosts[t] = max(boosts.get(t, 1.0), b)
     terms = sorted(pos_terms)
     tokenized = [analyzer(t) for t in texts]
     dls = np.array([len(t) for t in tokenized], dtype=np.float64)
@@ -110,7 +121,7 @@ def brute_force_topk(
             if conjunctive:
                 return []
             continue
-        idf = idf_np(float(n), float(df))
+        idf = idf_np(float(n), float(df)) * boosts.get(term, 1.0)
         contrib = np.where(tf > 0, bm25_term_score_np(tf, dls, idf, avgdl), 0.0)
         scores += contrib
         matched |= tf > 0

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import heapq
 import os
+import re
 import threading
 from dataclasses import dataclass
 
@@ -490,6 +491,11 @@ def make_query_scorer(
 
         def cursors_of(grp: pd.DataFrame) -> list[_Cursor]:
             idf = float(idf_np(float(n_docs), float(grp["df"].iloc[0])))
+            # per-term boost (Lucene 'term^2.5'): scales the cursor weight,
+            # which scales scores AND block upper bounds consistently — BMW
+            # pruning stays exact (ub = weight * tfnorm(max_tf, min_dl))
+            if "boost" in grp.columns:
+                idf *= float(grp["boost"].iloc[0])
             return [
                 _make_cursor(idf, row["postings"], row["blockmax"], avgdl)
                 for _, row in grp.sort_values("min_doc").iterrows()
@@ -696,6 +702,7 @@ class IndexSearcher:
         pos: set[str] = set()
         neg: set[str] = set()
         offsets: dict[str, list[int]] = {}
+        boosts: dict[str, float] = {}
         if mode == "phrase":
             toks = analyze(text or "")
             for i, t in enumerate(toks):
@@ -707,7 +714,13 @@ class IndexSearcher:
                 return []
         else:
             for word in (text or "").split():
-                (neg if word.startswith("-") else pos).update(qa(word.lstrip("-")))
+                m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", word)
+                b = float(m.group(2)) if m else 1.0
+                wtext = m.group(1) if m else word
+                toks = qa(wtext.lstrip("-"))
+                (neg if word.startswith("-") else pos).update(toks)
+                for t in toks:
+                    boosts[t] = max(boosts.get(t, 1.0), b)
         all_terms = sorted(pos | neg)
         if not pos:
             return []
@@ -749,6 +762,18 @@ class IndexSearcher:
             off_col = off_map[F.col("term")]
         else:
             off_col = F.lit(None).cast("array<int>")
+        boosted = [t for t in hit_terms if boosts.get(t, 1.0) != 1.0]
+        if boosted:
+            boost_map = F.create_map(
+                *[
+                    x
+                    for t in hit_terms
+                    for x in (F.lit(t), F.lit(float(boosts.get(t, 1.0))))
+                ]
+            )
+            boost_col = boost_map[F.col("term")]
+        else:
+            boost_col = F.lit(1.0)
         rows = (
             self.segments.where(F.col("bucket").isin(buckets))
             .where(F.col("term").isin(hit_terms))
@@ -757,6 +782,7 @@ class IndexSearcher:
                 F.lit(int(k)).alias("k"),
                 F.lit(mode).alias("mode"),
                 neg_col.alias("neg"),
+                boost_col.alias("boost"),
                 off_col.alias("q_offsets"),
                 F.lit(len(pos)).alias("n_required"),
                 "term",
@@ -878,7 +904,8 @@ class IndexSearcher:
 # matched-terms relation schema (shared by the distributed lineage and the
 # driver-side small-batch analyzer)
 _MATCHED_SCHEMA = (
-    "qid string, k int, mode string, neg boolean, q_offsets array<int>, "
+    "qid string, k int, mode string, neg boolean, boost double, "
+    "q_offsets array<int>, "
     "term string, df_global long, bucket int, n_required long"
 )
 
@@ -923,7 +950,7 @@ def _analyze_batch_driver(
         if mode == "phrase":
             toks = analyze(text)
             for i, t in enumerate(toks):
-                slot = terms.setdefault(t, [False, []])
+                slot = terms.setdefault(t, [False, [], 1.0])
                 slot[1].append(i)
         else:
             qa = analyze_name if mode == "recon" else analyze
@@ -931,17 +958,24 @@ def _analyze_batch_driver(
                 if not word:
                     continue
                 neg = word.startswith("-")
-                for t in qa(word.lstrip("-")):
-                    slot = terms.setdefault(t, [False, None])
+                # Lucene boost 'word^2.5' — strip before analysis; an
+                # invalid suffix doesn't match and tokenizes as-is
+                # (identical to the distributed regexp twin)
+                m = re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", word)
+                boost = float(m.group(2)) if m else 1.0
+                wtext = m.group(1) if m else word
+                for t in qa(wtext.lstrip("-")):
+                    slot = terms.setdefault(t, [False, None, 1.0])
                     # a term both included and negated -> negated (max(neg))
                     slot[0] = slot[0] or neg
-    parsed = []  # (qid, k, mode, {term: (neg, q_offsets)}, n_required)
+                    slot[2] = max(slot[2], boost)  # repeated term -> max
+    parsed = []  # (qid, k, mode, {term: (neg, q_offsets, boost)}, n_required)
     for qid, (k, mode, terms) in by_qid.items():
         final = {
-            t: (bool(neg), sorted(offs) if offs is not None else None)
-            for t, (neg, offs) in terms.items()
+            t: (bool(neg), sorted(offs) if offs is not None else None, float(boost))
+            for t, (neg, offs, boost) in terms.items()
         }
-        n_required = sum(1 for neg, _ in final.values() if not neg)
+        n_required = sum(1 for neg, _, _ in final.values() if not neg)
         parsed.append((qid, k, mode, final, n_required))
     fuzzy_qs = [(qid, k, sorted(qts)) for qid, (k, qts) in fuzzy_by_qid.items()]
 
@@ -999,13 +1033,15 @@ def _analyze_batch_driver(
     for qid, k, mode, terms, n_required in parsed:
         for t in sorted(terms):
             if t in by_term:
-                neg, offs = terms[t]
+                neg, offs, boost = terms[t]
                 df, bucket = by_term[t]
-                rows.append((qid, k, mode, neg, offs, t, df, bucket, n_required))
+                rows.append(
+                    (qid, k, mode, neg, boost, offs, t, df, bucket, n_required)
+                )
     for qid, k, t in fuzzy_expanded:
         if t in by_term:
             df, bucket = by_term[t]
-            rows.append((qid, k, "fuzzy", False, None, t, df, bucket, None))
+            rows.append((qid, k, "fuzzy", False, 1.0, None, t, df, bucket, None))
     return rows
 
 
@@ -1117,7 +1153,8 @@ def run_queries(
         if not matched_rows:
             return spark.createDataFrame([], RESULTS_SCHEMA)
         matched_local = spark.createDataFrame(matched_rows, _MATCHED_SCHEMA)
-        buckets = sorted({r[7] for r in matched_rows})
+        # row layout follows _MATCHED_SCHEMA: bucket is the 9th field
+        buckets = sorted({r[8] for r in matched_rows})
         return _score_matched(
             spark, index_dir, F.broadcast(matched_local.drop("bucket")),
             buckets, matched_local, n_docs, avgdl, use_bmw, tomb_bc,
@@ -1142,24 +1179,40 @@ def run_queries(
         "k",
         "mode",
         F.col("word").startswith("-").alias("neg"),
-        F.regexp_replace("word", r"^-", "").alias("wtext"),
+        # Lucene boost syntax 'word^2.5': strip the suffix BEFORE analysis
+        # (the tokenizer would otherwise split the number off as a term);
+        # empty extract -> null -> default 1.0. Invalid suffixes ('a^b')
+        # don't match and tokenize as-is — identical to the driver twin.
+        F.coalesce(
+            F.nullif(
+                F.regexp_extract("word", r"\^(\d+(?:\.\d+)?)$", 1), F.lit("")
+            ).cast("double"),
+            F.lit(1.0),
+        ).alias("boost"),
+        F.regexp_replace(
+            F.regexp_replace("word", r"\^\d+(?:\.\d+)?$", ""), r"^-", ""
+        ).alias("wtext"),
     )
     analyzed = words.select(
         "qid",
         "k",
         "mode",
         "neg",
+        "boost",
         F.when(F.col("mode") == "recon", tokenize_name_udf("wtext"))
         .otherwise(tokenize_udf("wtext"))
         .alias("terms"),
     )
     qterms = (
-        analyzed.select("qid", "k", "mode", "neg", F.explode("terms").alias("term"))
+        analyzed.select(
+            "qid", "k", "mode", "neg", "boost", F.explode("terms").alias("term")
+        )
         .groupBy("qid", "term")
         .agg(
             F.first("k").alias("k"),
             F.first("mode").alias("mode"),
             F.max("neg").alias("neg"),  # a term both included and negated -> negated
+            F.max("boost").alias("boost"),  # repeated term -> max boost (pinned)
         )
         .withColumn("q_offsets", F.lit(None).cast("array<int>"))
     )
@@ -1178,14 +1231,17 @@ def run_queries(
             F.lit(False).alias("neg"),
             F.sort_array(F.collect_list(F.col("q_off").cast("int"))).alias("q_offsets"),
         )
+        .withColumn("boost", F.lit(1.0))  # boost syntax is term-level only
     )
     qterms = qterms.select(
-        "qid", "term", "k", "mode", "neg", "q_offsets"
-    ).unionByName(phrase_terms.select("qid", "term", "k", "mode", "neg", "q_offsets"))
+        "qid", "term", "k", "mode", "neg", "boost", "q_offsets"
+    ).unionByName(
+        phrase_terms.select("qid", "term", "k", "mode", "neg", "boost", "q_offsets")
+    )
 
     # D2: the query-term set is tiny — broadcast it against the dictionary
     matched = dictionary.join(F.broadcast(qterms), "term").select(
-        "qid", "k", "mode", "neg", "q_offsets", "term",
+        "qid", "k", "mode", "neg", "boost", "q_offsets", "term",
         F.col("df").alias("df_global"), "bucket",
     )
 
@@ -1238,6 +1294,7 @@ def run_queries(
         "k",
         F.lit("fuzzy").alias("mode"),
         F.lit(False).alias("neg"),
+        F.lit(1.0).alias("boost"),
         F.lit(None).cast("array<int>").alias("q_offsets"),
         "term",
         F.col("df").alias("df_global"),
@@ -1302,7 +1359,7 @@ def _score_matched(
         matched_side,
         "term",
     ).select(
-        "qid", "k", "mode", "neg", "q_offsets", "n_required", "term",
+        "qid", "k", "mode", "neg", "boost", "q_offsets", "n_required", "term",
         F.col("df_global").alias("df"), "min_doc", "max_doc",
         "has_positions", "postings", "blockmax",
     )

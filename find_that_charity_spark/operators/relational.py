@@ -119,13 +119,29 @@ def bm25_topk_sql(
     minimum_should_match — the engine's mode ``min_should:<m>``);
     ``include_where`` is a predicate over ``{table}`` defining the ES
     POSITIVE filter context (run_queries.include_doc_ids) — results
-    restricted, stats untouched."""
+    restricted, stats untouched. Lucene boost syntax ``word^2.5`` is
+    parsed exactly as the engine does (strip before analysis, repeated
+    term takes the max boost) and multiplies that term's idf."""
+    import re as _re
+
     pos: set[str] = set()
     neg: set[str] = set()
+    boosts: dict[str, float] = {}
     for word in query_text.split():
-        (neg if word.startswith("-") else pos).update(analyzer(word.lstrip("-")))
+        m = _re.match(r"^(.*)\^(\d+(?:\.\d+)?)$", word)
+        b = float(m.group(2)) if m else 1.0
+        wtext = m.group(1) if m else word
+        toks = analyzer(wtext.lstrip("-"))
+        if word.startswith("-"):
+            neg.update(toks)
+        else:
+            pos.update(toks)
+            for t in toks:
+                boosts[t] = max(boosts.get(t, 1.0), b)
     terms = sorted(pos)
-    terms_list = ", ".join(f"('{t}')" for t in terms)
+    terms_list = ", ".join(
+        f"('{t}', {boosts.get(t, 1.0)!r})" for t in terms
+    )
     score_expr = bm25_sql(tf="tf.tf", dl="dl.dl", n="s.n_docs", df="d.df", avgdl="s.avgdl")
     having = f"HAVING count(DISTINCT tf.term) = {len(terms)}" if conjunctive else ""
     if min_should_match is not None:
@@ -148,10 +164,10 @@ WITH toks AS (
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
 s  AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-q  AS (SELECT * FROM (VALUES {terms_list}) AS v(term)),
+q  AS (SELECT * FROM (VALUES {terms_list}) AS v(term, boost)),
 d  AS (SELECT tf.term, count(*) AS df FROM tf JOIN q USING (term) GROUP BY 1),
 scored AS (
-  SELECT tf.doc_id, sum({score_expr}) AS score
+  SELECT tf.doc_id, sum(({score_expr}) * q.boost) AS score
   FROM tf JOIN q USING (term) JOIN d ON tf.term = d.term
   JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN s
   WHERE 1=1 {neg_filter}

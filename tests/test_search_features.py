@@ -351,6 +351,65 @@ class TestSearchAfter:
         assert [(int(r["doc_id"]), int(r["sort_key"])) for r in p2] == rows[10:20]
 
 
+class TestBoost:
+    """D7+ per-term boost ('term^2.5'): idf-multiplier, exact under BMW
+    (block upper bounds scale with the cursor weight)."""
+
+    BQ = "w0005^2 w0011 w0019^0.5 w0030"
+
+    def test_boosted_vs_brute_oracle(self, spark, sindex, corpus):
+        got = _run_one(spark, sindex["index"], self.BQ, "freetext")
+        want = brute_force_topk(corpus["doc_id"], corpus["text"], self.BQ, k=10)
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-6
+        )
+        # the boost must actually change the ranking, else vacuous
+        plain = _run_one(spark, sindex["index"], QUERY, "freetext")
+        assert [d for d, _ in got] != [d for d, _ in plain]
+
+    def test_unit_boost_is_identity(self, spark, sindex):
+        got = _run_one(
+            spark, sindex["index"], "w0005^1 w0011 w0019^1.0 w0030", "freetext"
+        )
+        assert got == _run_one(spark, sindex["index"], QUERY, "freetext")
+
+    def test_warm_searcher_parity(self, spark, sindex):
+        from find_that_charity_spark.operators.query import IndexSearcher
+
+        s = IndexSearcher(spark, sindex["index"])
+        try:
+            got = [
+                (d, round(sc, 6)) for _, d, sc in s.search(self.BQ, k=10)
+            ]
+            want = [
+                (d, round(sc, 6))
+                for d, sc in _run_one(spark, sindex["index"], self.BQ, "freetext")
+            ]
+            assert got == want
+        finally:
+            s.close()
+
+    def test_invalid_suffix_tokenizes_as_is(self, spark, sindex, corpus):
+        """'w0005^x' is not a boost — both engines split it into tokens
+        (w0005, x) and score them as plain OR terms."""
+        got = _run_one(spark, sindex["index"], "w0005^x w0011", "freetext")
+        want = brute_force_topk(
+            corpus["doc_id"], corpus["text"], "w0005^x w0011", k=10
+        )
+        assert [d for d, _ in got] == [d for d, _ in want]
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-6
+        )
+
+    def test_repeated_term_takes_max_boost(self, spark, sindex, corpus):
+        got = _run_one(
+            spark, sindex["index"], "w0005^3 w0005^2 w0011", "freetext"
+        )
+        want = _run_one(spark, sindex["index"], "w0005^3 w0011", "freetext")
+        assert got == want
+
+
 class TestSpellSuggest:
     @staticmethod
     def _lev(a: str, b: str) -> int:
