@@ -221,11 +221,16 @@ def suggest_spelling(
             }
         )
     except Exception:
-        # pre-fuzzy_keys index: exact-scan fallback (still correct; the
-        # deletion-key path is the scale path)
+        # pre-fuzzy_keys index: levenshtein-filtered scan (the filter runs
+        # JVM-side; only the tiny candidate set reaches the driver — never
+        # collect the whole dictionary)
         cands = sorted(
             r["term"]
             for r in spark.read.parquet(f"{index_dir}/dictionary")
+            .where(
+                (F.abs(F.length("term") - F.lit(len(t))) <= 1)
+                & (F.levenshtein(F.col("term"), F.lit(t)) <= 1)
+            )
             .select("term")
             .collect()
         )

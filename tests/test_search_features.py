@@ -442,6 +442,30 @@ class TestSpellSuggest:
         ]
         assert got == [(t, d, 1) for t, d in cands[:8]]
 
+    def test_fallback_without_fuzzy_keys(self, spark, sindex):
+        """A pre-fuzzy_keys index takes the levenshtein-filtered scan
+        (JVM-side filter, tiny collect) — same answer as the probe path."""
+        import shutil
+
+        from find_that_charity_spark.operators.recon import suggest_spelling
+
+        def run():
+            return [
+                (r["suggestion"], r["df"], r["distance"])
+                for r in suggest_spelling(
+                    spark, sindex["index"], "w005", k=8
+                ).collect()
+            ]
+
+        primary = run()
+        fk = f"{sindex['index']}/fuzzy_keys"
+        shutil.move(fk, fk + "_aside")
+        try:
+            fallback = run()
+        finally:
+            shutil.move(fk + "_aside", fk)
+        assert fallback == primary and len(primary) >= 3
+
     def test_no_neighbors_and_input_exclusion(self, spark, sindex, corpus):
         from find_that_charity_spark.operators.recon import suggest_spelling
 
