@@ -361,6 +361,16 @@ def _q_search_after(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 top_hits sub-aggregation: per lang bucket of the flagship match
+    set, the top-3 docs by (doc_len DESC, doc_id ASC) — one window over
+    the match-set join (operators/facets.py facet_top_hits)."""
+    from find_that_charity_spark.operators.facets import facet_top_hits
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    return facet_top_hits(spark, idx, FLAGSHIP_QUERY, "lang", "doc_len", 3)
+
+
 def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D11 significant_terms: JLH-scored over-representation of terms in
     the flagship match set vs the corpus (operators/facets.py). Score is
@@ -948,6 +958,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_highlight": _q_highlight,
         "more_like_this_doc": _q_more_like_this,
         "significant_terms_flagship": _q_significant_terms,
+        "facet_top_hits_lang": _q_facet_top_hits,
         "bm25_segments_filter_lang": _q_segments_filter_lang,
         "bm25_prefix_query": _q_prefix_query,
         "spell_suggest": _q_spell_suggest,
@@ -1071,6 +1082,34 @@ def _search_after_sql(offset: int = 10, k: int = 10) -> str:
         FROM m
         ORDER BY sort_key DESC, doc_id ASC
         LIMIT {k} OFFSET {offset}
+    """
+
+
+def _facet_top_hits_sql(k: int = 3) -> str:
+    """top_hits oracle: rank docs inside each lang bucket of the match
+    set by (token count DESC, doc_id ASC), keep the top k."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(analyze(FLAGSHIP_QUERY))))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, lang, regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}') AS t
+          FROM documents
+        ),
+        m AS (
+          SELECT lang AS facet, doc_id, len(t) AS sort_key FROM toks
+          WHERE len(list_filter(t, x -> x IN ({terms}))) > 0
+        ),
+        ranked AS (
+          SELECT facet, doc_id, sort_key,
+                 row_number() OVER (
+                   PARTITION BY facet ORDER BY sort_key DESC, doc_id ASC
+                 ) AS pos
+          FROM m
+        )
+        SELECT CAST(facet AS VARCHAR) AS facet,
+               CAST(pos AS INT) AS pos,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(sort_key AS BIGINT) AS sort_key
+        FROM ranked WHERE pos <= {k}
     """
 
 
@@ -1201,6 +1240,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_highlight": _highlight_sql(k=10, window=5),
         "more_like_this_doc": _mlt_sql(MLT_SOURCE_DOC, m=5, k=10),
         "significant_terms_flagship": _sigterms_sql(10),
+        "facet_top_hits_lang": _facet_top_hits_sql(3),
         "bm25_segments_filter_lang": bm25_topk_sql(
             FLAGSHIP_QUERY, k=10, include_where="lang = 'en'"
         ),

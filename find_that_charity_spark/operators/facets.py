@@ -172,6 +172,59 @@ def search_after_page(
     return page.orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(k)
 
 
+def facet_top_hits(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    facet_col: str,
+    sort_col: str,
+    k_per_facet: int = 3,
+    mode: str = "freetext",
+) -> DataFrame:
+    """ES ``top_hits`` sub-aggregation analog: for every facet bucket of
+    the match set, the top ``k_per_facet`` documents by
+    (``sort_col`` DESC, doc_id ASC).
+
+    Plan: the shared pruned match-set pipeline (:func:`_matched_live_ids`)
+    joined to the docs table, then ONE window (`row_number` partitioned by
+    facet) — rank-within-group never materializes more than the match
+    set, and at scale the window's facet-hash shuffle is bounded by the
+    query's df, not the corpus. Output: (facet string, pos int,
+    doc_id bigint, sort_key bigint).
+    """
+    from pyspark.sql import Window
+
+    check_format(index_dir)
+    analyzer = analyze_name if mode == "recon" else analyze
+    terms = sorted(set(analyzer(query_text)))
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    empty = docs.select(
+        F.col(facet_col).cast("string").alias("facet"),
+        F.lit(0).cast("int").alias("pos"),
+        F.col("doc_id").cast("long"),
+        F.col(sort_col).cast("long").alias("sort_key"),
+    ).limit(0)
+    if not terms:
+        return empty
+    ids = _matched_live_ids(spark, index_dir, terms)
+    if ids is None:
+        return empty
+    w = Window.partitionBy("facet").orderBy(
+        F.desc("sort_key"), F.asc("doc_id")
+    )
+    return (
+        docs.join(ids, "doc_id")
+        .select(
+            F.col(facet_col).cast("string").alias("facet"),
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.col(sort_col).cast("long").alias("sort_key"),
+        )
+        .withColumn("pos", F.row_number().over(w).cast("int"))
+        .where(F.col("pos") <= k_per_facet)
+        .select("facet", "pos", "doc_id", "sort_key")
+    )
+
+
 def significant_terms(
     spark: SparkSession,
     index_dir: str,

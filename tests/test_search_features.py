@@ -139,6 +139,34 @@ class TestFacets:
         )
         assert got == dict(want)
 
+    def test_top_hits_vs_pandas(self, spark, sindex, corpus):
+        from find_that_charity_spark.operators.facets import facet_top_hits
+
+        got = sorted(
+            (r["facet"], r["pos"], r["doc_id"], r["sort_key"])
+            for r in facet_top_hits(
+                spark, sindex["index"], QUERY, "lang", "doc_len", 3
+            ).collect()
+        )
+        langs = spark.read.parquet(f"{sindex['index']}/docs").select(
+            "doc_id", "lang"
+        ).toPandas()
+        merged = corpus.merge(langs, on="doc_id")
+        terms = set(analyze(QUERY))
+        rows = [
+            (lang, int(d), len(analyze(t)))
+            for lang, d, t in zip(merged["lang"], merged["doc_id"], merged["text"])
+            if terms & set(analyze(t))
+        ]
+        want = []
+        for lang in sorted({r[0] for r in rows}):
+            bucket = sorted(
+                [r for r in rows if r[0] == lang],
+                key=lambda r: (-r[2], r[1]),
+            )[:3]
+            want += [(lang, i + 1, d, ln) for i, (_, d, ln) in enumerate(bucket)]
+        assert got == sorted(want) and len({f for f, *_ in got}) >= 2
+
     def test_histogram_vs_pandas(self, spark, sindex, corpus):
         from find_that_charity_spark.operators.facets import facet_histogram
 
