@@ -371,6 +371,17 @@ def _q_facet_top_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facet_top_hits(spark, idx, FLAGSHIP_QUERY, "lang", "doc_len", 3)
 
 
+def _q_facet_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 cardinality aggregation (exact): distinct doc_len values among
+    flagship-matching live docs — the index's exact token counts, so the
+    oracle recomputes them from raw text (operators/facets.py
+    facet_cardinality)."""
+    from find_that_charity_spark.operators.facets import facet_cardinality
+
+    idx = _ensure_segment_index(spark, sf_dir)
+    return facet_cardinality(spark, idx, FLAGSHIP_QUERY, "doc_len")
+
+
 def _q_significant_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D11 significant_terms: JLH-scored over-representation of terms in
     the flagship match set vs the corpus (operators/facets.py). Score is
@@ -959,6 +970,7 @@ def _raw_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "more_like_this_doc": _q_more_like_this,
         "significant_terms_flagship": _q_significant_terms,
         "facet_top_hits_lang": _q_facet_top_hits,
+        "facet_cardinality_doclen": _q_facet_cardinality,
         "bm25_segments_filter_lang": _q_segments_filter_lang,
         "bm25_prefix_query": _q_prefix_query,
         "spell_suggest": _q_spell_suggest,
@@ -1082,6 +1094,20 @@ def _search_after_sql(offset: int = 10, k: int = 10) -> str:
         FROM m
         ORDER BY sort_key DESC, doc_id ASC
         LIMIT {k} OFFSET {offset}
+    """
+
+
+def _facet_cardinality_sql() -> str:
+    """Cardinality oracle over the exact token count (== index doc_len)."""
+    terms = ", ".join(f"'{t}'" for t in sorted(set(analyze(FLAGSHIP_QUERY))))
+    return f"""
+        WITH toks AS (
+          SELECT doc_id, regexp_extract_all(lower(text), '{ASCII_TOKEN_PATTERN}') AS t
+          FROM documents
+        )
+        SELECT CAST(count(DISTINCT len(t)) AS BIGINT) AS distinct_values
+        FROM toks
+        WHERE len(list_filter(t, x -> x IN ({terms}))) > 0
     """
 
 
@@ -1241,6 +1267,7 @@ def oracle_sql() -> dict[str, str]:
         "more_like_this_doc": _mlt_sql(MLT_SOURCE_DOC, m=5, k=10),
         "significant_terms_flagship": _sigterms_sql(10),
         "facet_top_hits_lang": _facet_top_hits_sql(3),
+        "facet_cardinality_doclen": _facet_cardinality_sql(),
         "bm25_segments_filter_lang": bm25_topk_sql(
             FLAGSHIP_QUERY, k=10, include_where="lang = 'en'"
         ),

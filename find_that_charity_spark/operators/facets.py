@@ -172,6 +172,41 @@ def search_after_page(
     return page.orderBy(F.desc("sort_key"), F.asc("doc_id")).limit(k)
 
 
+def facet_cardinality(
+    spark: SparkSession,
+    index_dir: str,
+    query_text: str,
+    facet_col: str,
+    mode: str = "freetext",
+) -> DataFrame:
+    """ES ``cardinality`` aggregation analog, EXACT flavor: the number of
+    distinct ``facet_col`` values among live docs matching ANY analyzed
+    query term. (ES approximates with HyperLogLog++ above a threshold;
+    Spark's exact count_distinct is one partial-agg shuffle over the
+    match set — bounded by the query's df — so the exact form IS the
+    scale path here; `approx_count_distinct` remains available for
+    corpus-wide cardinalities.) Output: one row (distinct_values bigint).
+    """
+    check_format(index_dir)
+    analyzer = analyze_name if mode == "recon" else analyze
+    terms = sorted(set(analyzer(query_text)))
+    docs = spark.read.parquet(f"{index_dir}/docs")
+    if terms:
+        ids = _matched_live_ids(spark, index_dir, terms)
+    else:
+        ids = None
+    if ids is None:
+        return spark.createDataFrame([(0,)], "distinct_values bigint")
+    return (
+        docs.join(ids, "doc_id")
+        .agg(
+            F.count_distinct(F.col(facet_col))
+            .cast("bigint")
+            .alias("distinct_values")
+        )
+    )
+
+
 def facet_top_hits(
     spark: SparkSession,
     index_dir: str,

@@ -139,6 +139,22 @@ class TestFacets:
         )
         assert got == dict(want)
 
+    def test_cardinality_vs_pandas(self, spark, sindex, corpus):
+        from find_that_charity_spark.operators.facets import facet_cardinality
+
+        got = facet_cardinality(
+            spark, sindex["index"], QUERY, "doc_len"
+        ).collect()[0]["distinct_values"]
+        terms = set(analyze(QUERY))
+        want = len(
+            {
+                len(analyze(t))
+                for t in corpus["text"]
+                if terms & set(analyze(t))
+            }
+        )
+        assert got == want and want > 10
+
     def test_top_hits_vs_pandas(self, spark, sindex, corpus):
         from find_that_charity_spark.operators.facets import facet_top_hits
 
