@@ -42,7 +42,7 @@ from find_that_charity_spark.operators.relational import (
     suggest_spelling_sql,
 )
 from find_that_charity_spark.operators.similarity import cosine_topk_brute, cosine_topk_lsh
-from find_that_charity_spark.sources.corpus import read_table
+from find_that_charity_spark.sources.corpus import read_table, widen_scan
 
 import tempfile
 
@@ -485,20 +485,42 @@ def _q_bm25_single_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_term_dictionary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
+    # aggregate before you shuffle (guide §2.3): per-doc (term, tf) pairs
+    # are computed INSIDE the row (distinct terms of the token array, tf
+    # via two native size()s), so the single groupBy(term) exchange gets
+    # map-side partial aggregation down to vocabulary size per task. The
+    # old plan exploded every token occurrence and ran the mixed
+    # countDistinct+count aggregate, whose Expand node doubled the
+    # exploded rows through a (term, doc_id)-grained shuffle. df = one
+    # pair per (doc, distinct term) — identical to countDistinct(doc_id);
+    # cf = sum of tfs — identical to count(*) over occurrences.
+    docs = widen_scan(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(tokenize_expr("text").alias("tokens"))
+    pairs = toks.select(
+        F.explode(
+            F.transform(
+                F.array_distinct("tokens"),
+                lambda t: F.struct(
+                    t.alias("term"),
+                    (
+                        F.size("tokens") - F.size(F.array_remove("tokens", t))
+                    ).alias("tf"),
+                ),
+            )
+        ).alias("p")
+    )
     return (
-        toks.groupBy("term")
+        pairs.groupBy(F.col("p.term").alias("term"))
         .agg(
-            F.countDistinct("doc_id").cast("bigint").alias("df"),
-            F.count(F.lit(1)).cast("bigint").alias("cf"),
+            F.count(F.lit(1)).cast("bigint").alias("df"),
+            F.sum("p.tf").cast("bigint").alias("cf"),
         )
         .orderBy("term")
     )
 
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    docs = widen_scan(read_table(spark, sf_dir, "documents"))
     dl = docs.select(F.size(tokenize_expr("text")).alias("dl"))
     return dl.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
@@ -508,13 +530,23 @@ def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A5 suggest: terms with prefix 's', most-frequent-first
-    docs = read_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokenize_expr("text")).alias("term"))
+    # A5 suggest: terms with prefix 's', most-frequent-first.
+    # Round 6: the prefix filter moves INSIDE the token array (array_distinct
+    # + filter before explode — guide §2.3: don't explode rows you throw
+    # away), and df comes from counting the per-doc-distinct (term, doc_id)
+    # pairs directly instead of a countDistinct Expand.
+    docs = widen_scan(read_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(
+            F.filter(
+                F.array_distinct(tokenize_expr("text")),
+                lambda t: t.startswith("s"),
+            )
+        ).alias("term")
+    )
     return (
-        toks.where(F.col("term").startswith("s"))
-        .groupBy("term")
-        .agg(F.countDistinct("doc_id").cast("bigint").alias("df"))
+        toks.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("df"))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(10)
     )
@@ -551,7 +583,16 @@ def _q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_top2_orders_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = read_table(spark, sf_dir, "orders")
+    # project the 3 needed columns BEFORE the window's hash exchange
+    # (guide §2.3: the window previously shuffled every orders column).
+    # NOT widened: the map-side Sort + partial WindowGroupLimit on the
+    # 2-row-group scan beat paying an extra round-robin exchange
+    # (measured 1.9 s vs 2.3 s at sf1.0); the residual wall is the
+    # ~2-rows-per-customer result collect, which is the query's output,
+    # not plan overhead.
+    o = read_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
         o.withColumn("rn", F.row_number().over(w))
@@ -654,6 +695,8 @@ def _q_setop_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NOT widened: md5 per row is too cheap to pay a repartition for
+    # (measured 0.76 -> 0.87 s with widen_scan at sf1.0)
     return exact_dedup_groups(read_table(spark, sf_dir, "documents")).orderBy("keep_id")
 
 
@@ -663,7 +706,7 @@ def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     return (
         d.withColumn("pred_lang", T.lang_id("text"))
         .groupBy("pred_lang")
@@ -673,7 +716,7 @@ def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     return (
         d.select(
             F.col("doc_id").cast("bigint"),
@@ -685,7 +728,7 @@ def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     return (
         d.select("source", T.fingerprint("text").alias("fp"))
         .groupBy("source")
@@ -695,7 +738,7 @@ def _q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = read_table(spark, sf_dir, "documents")
+    d = widen_scan(read_table(spark, sf_dir, "documents"))
     return (
         d.select(F.col("doc_id").cast("bigint"), T.token_count("text").cast("bigint").alias("n_tokens"))
         .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
@@ -788,21 +831,33 @@ def _q_embedding_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_events_json_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E13 native JSON + map surface: from_json to a MAP type (element_at /
-    map_keys) plus get_json_object path extraction — not regexp."""
+    map_keys) plus get_json_object path extraction — not regexp.
+
+    Optimization round 6 (guide §1.2 "don't compute things you throw
+    away"): every output is a pure function of (event_type, props), so the
+    rows are pre-aggregated to (event_type, props, cnt) — map-side partial
+    aggregation collapses duplicate JSON payloads BEFORE the (expensive)
+    double JSON parse, which then runs once per distinct group instead of
+    once per row. The per-row aggregates are recovered exactly by
+    weighting with cnt (sum) or ignoring it (max); null parse results drop
+    out of sums in both shapes. Identical results for ANY input; at worst
+    (all-distinct props) it degrades to the old per-row parse count plus
+    one pre-shuffle."""
     e = read_table(spark, sf_dir, "events")
+    grouped = e.groupBy("event_type", "props").agg(F.count(F.lit(1)).alias("cnt"))
     parsed = (
-        e.withColumn("pmap", F.from_json("props", "map<string,bigint>"))
+        grouped.withColumn("pmap", F.from_json("props", "map<string,bigint>"))
         .withColumn("k_map", F.element_at("pmap", F.lit("k")))
         .withColumn("k_path", F.get_json_object("props", "$.k").cast("bigint"))
     )
     return (
         parsed.groupBy("event_type")
         .agg(
-            F.sum("k_map").cast("bigint").alias("sum_k"),
+            F.sum(F.col("k_map") * F.col("cnt")).cast("bigint").alias("sum_k"),
             F.max("k_path").cast("bigint").alias("max_k"),
-            F.sum(F.size(F.map_keys("pmap"))).cast("bigint").alias("n_keys"),
+            F.sum(F.size(F.map_keys("pmap")) * F.col("cnt")).cast("bigint").alias("n_keys"),
             F.sum(
-                F.when(F.col("k_map") == F.col("k_path"), 1).otherwise(0)
+                F.when(F.col("k_map") == F.col("k_path"), F.col("cnt")).otherwise(0)
             ).cast("bigint").alias("n_consistent"),
         )
         .orderBy("event_type")

@@ -58,23 +58,56 @@ def stopword_count_sql(lang: str, text_col: str = "text") -> str:
     )
 
 
+def _let(bound: Column, body) -> Column:
+    """Evaluate ``body(x)`` with ``x`` bound once to ``bound`` — a let
+    binding built from ``transform`` over a single-element array. Catalyst
+    has no common-subexpression elimination across an interpreted
+    (higher-order / CodegenFallback) projection, so an expensive
+    expression referenced N times is otherwise evaluated N times
+    (optimization round 6, guide §1.2: lang_id ran its regexp tokenizer 4x
+    per row). The lambda variable is a plain attribute reference — free."""
+    return F.transform(F.array(bound), body)[0]
+
+
 def lang_id(text_col: str = "text") -> Column:
     """Heuristic language-ID: argmax stopword-profile hit count, fixed
-    tie-break order en > fr > es > de, 'und' when nothing matches."""
-    counts = {lang: stopword_count(lang, text_col) for lang in STOPWORDS}
-    expr = F.lit("und")
-    # build reversed CASE chain so earlier langs win ties
-    for lang in reversed(list(STOPWORDS)):
-        cond = counts[lang] > 0
-        for other in STOPWORDS:
-            if other == lang:
-                continue
-            if list(STOPWORDS).index(other) < list(STOPWORDS).index(lang):
-                cond = cond & (counts[lang] > counts[other])
-            else:
-                cond = cond & (counts[lang] >= counts[other])
-        expr = F.when(cond, F.lit(lang)).otherwise(expr)
-    return expr
+    tie-break order en > fr > es > de, 'und' when nothing matches.
+
+    Tokenize runs ONCE per row (bound via :func:`_let`), then each
+    profile's hit count once, then the decision CASE chain over the bound
+    counts — same decision table as always, 1 regexp instead of 4."""
+    langs = list(STOPWORDS)
+
+    def _hit_counter(words: tuple[str, ...]):
+        # closure factory: pyspark derives the lambda's arity from its
+        # signature, so the word list cannot ride a default parameter
+        return lambda t: t.isin(*words)
+
+    def counts_of(toks: Column) -> Column:
+        return F.struct(
+            *[
+                F.size(F.filter(toks, _hit_counter(STOPWORDS[lang]))).alias(lang)
+                for lang in langs
+            ]
+        )
+
+    def decide(cnt: Column) -> Column:
+        counts = {lang: cnt[lang] for lang in langs}
+        expr = F.lit("und")
+        # build reversed CASE chain so earlier langs win ties
+        for lang in reversed(langs):
+            cond = counts[lang] > 0
+            for other in langs:
+                if other == lang:
+                    continue
+                if langs.index(other) < langs.index(lang):
+                    cond = cond & (counts[lang] > counts[other])
+                else:
+                    cond = cond & (counts[lang] >= counts[other])
+            expr = F.when(cond, F.lit(lang)).otherwise(expr)
+        return expr
+
+    return _let(tokenize_expr(text_col), lambda toks: _let(counts_of(toks), decide))
 
 
 def lang_id_sql(text_col: str = "text") -> str:
@@ -95,14 +128,24 @@ def lang_id_sql(text_col: str = "text") -> str:
 def quality_score(text_col: str = "text") -> Column:
     """Composite quality in [0, ~1]: penalize very short docs and heavy
     punctuation; reward stopword presence (natural-language-ness).
-    score = min(dl,100)/100 * (1 - punct_ratio) with +0.1 stopword bonus."""
-    dl = token_count(text_col).cast("double")
+    score = min(dl,100)/100 * (1 - punct_ratio) with +0.1 stopword bonus.
+
+    Tokenize runs ONCE per row (:func:`_let` binding shared by the dl and
+    stopword factors — it ran twice before optimization round 6); the
+    formula is unchanged."""
     punct_ratio = punct_count(text_col).cast("double") / F.greatest(
         F.length(text_col).cast("double"), F.lit(1.0)
     )
-    sw = stopword_count("en", text_col).cast("double")
-    base = F.least(dl, F.lit(100.0)) / F.lit(100.0) * (F.lit(1.0) - punct_ratio)
-    return base + F.when(sw > 0, F.lit(0.1)).otherwise(F.lit(0.0))
+
+    def score_of(toks: Column) -> Column:
+        dl = F.size(toks).cast("double")
+        sw = F.size(
+            F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))
+        ).cast("double")
+        base = F.least(dl, F.lit(100.0)) / F.lit(100.0) * (F.lit(1.0) - punct_ratio)
+        return base + F.when(sw > 0, F.lit(0.1)).otherwise(F.lit(0.0))
+
+    return _let(tokenize_expr(text_col), score_of)
 
 
 def quality_score_sql(text_col: str = "text") -> str:

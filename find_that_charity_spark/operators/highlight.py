@@ -46,12 +46,14 @@ def _make_first_hit_decoder(ids_sorted: np.ndarray):
     def decode(it):
         for pdf in it:
             doc_l, pos_l = [], []
-            for _, row in pdf.iterrows():
-                assert bool(row["has_positions"]), (
+            for has_pos, blob, blockmax in zip(
+                pdf["has_positions"], pdf["postings"], pdf["blockmax"]
+            ):
+                assert bool(has_pos), (
                     "highlight_topk needs a positional index "
                     "(BuildConfig.positions=True)"
                 )
-                c = _make_cursor(0.0, row["postings"], row["blockmax"], 1.0)
+                c = _make_cursor(0.0, blob, blockmax, 1.0)
                 docs, tfs, _dls, pos = _decode_cursor_positions(
                     c, int(ids_sorted[0]), int(ids_sorted[-1]) + 1
                 )
@@ -125,14 +127,12 @@ def highlight_topk(
 
     # positional postings of the query terms, pruned three ways: bucket
     # partition filter, term IN-list, and doc-range overlap with the k ids
-    matched = (
-        spark.read.parquet(f"{index_dir}/dictionary")
-        .where(F.col("term").isin(terms))
-        .select("term", "bucket")
-        .collect()
-    )
-    buckets = sorted({r["bucket"] for r in matched})
-    hit_terms = sorted({r["term"] for r in matched})
+    # (dictionary probe mtime-cached driver-side — zero jobs warm, r06)
+    from find_that_charity_spark.operators.query import probe_dictionary
+
+    by_term = probe_dictionary(spark, index_dir, terms)
+    buckets = sorted({b for _, b in by_term.values()})
+    hit_terms = sorted(by_term)
     segments = (
         spark.read.parquet(f"{index_dir}/segments")
         .where(F.col("bucket").isin(buckets))

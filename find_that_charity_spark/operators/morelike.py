@@ -41,12 +41,10 @@ def select_mlt_terms(
     if not tf:
         return []
     n_docs, _avgdl = load_stats(spark, index_dir)
+    from find_that_charity_spark.operators.query import probe_dictionary
+
     dfs = {
-        r["term"]: int(r["df"])
-        for r in spark.read.parquet(f"{index_dir}/dictionary")
-        .where(F.col("term").isin(sorted(tf)))
-        .select("term", "df")
-        .collect()
+        t: df for t, (df, _b) in probe_dictionary(spark, index_dir, sorted(tf)).items()
     }
     weighted = [
         (float(tf[t]) * float(idf_np(float(n_docs), float(dfs[t]))), t)

@@ -631,6 +631,46 @@ def _local_mtime_key(path: str) -> tuple | None:
     return tuple(sig)
 
 
+# term -> (df, bucket) probe results, accumulated lazily per index and
+# invalidated by the same mtime signature as the stats/tombstone caches
+# (optimization round 6): every warm query batch, facet, highlight and
+# more_like_this call was paying one pushed IN-list dictionary probe JOB
+# for terms the driver had already resolved. Bounded by distinct probed
+# terms (query traffic), never the vocabulary.
+_DICT_PROBE_CACHE: dict[str, tuple[tuple, dict, set]] = {}
+
+
+def probe_dictionary(
+    spark: SparkSession, index_dir: str, terms: list[str]
+) -> dict[str, tuple[int, int]]:
+    """term -> (df, bucket) for the subset of ``terms`` in the dictionary.
+
+    One pushed IN-list probe job for cache-missing terms only; a warm
+    driver resolves repeat terms with zero jobs. Remote stores (no cheap
+    freshness signal) skip the cache, as with ``_STATS_CACHE``."""
+    key = _local_mtime_key(f"{index_dir}/dictionary")
+    known: dict[str, tuple[int, int]] = {}
+    missing: set[str] = set()
+    if key is not None:
+        hit = _DICT_PROBE_CACHE.get(index_dir)
+        if hit is not None and hit[0] == key:
+            known, missing = hit[1], hit[2]
+    todo = sorted({t for t in terms if t not in known and t not in missing})
+    if todo:
+        rows = (
+            spark.read.parquet(f"{index_dir}/dictionary")
+            .where(F.col("term").isin(todo))
+            .select("term", "df", "bucket")
+            .collect()
+        )
+        got = {r["term"]: (int(r["df"]), int(r["bucket"])) for r in rows}
+        known.update(got)
+        missing.update(t for t in todo if t not in got)
+        if key is not None:
+            _DICT_PROBE_CACHE[index_dir] = (key, known, missing)
+    return {t: known[t] for t in terms if t in known}
+
+
 def load_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
     # every query entry point reads stats first — piggyback the on-disk
     # format check here so an old-layout store fails fast with a rebuild
@@ -1025,10 +1065,7 @@ def _analyze_batch_driver(
     )
     if not probe_terms:
         return []
-    by_term = {
-        r["term"]: (int(r["df"]), int(r["bucket"]))
-        for r in dictionary.where(F.col("term").isin(probe_terms)).collect()
-    }
+    by_term = probe_dictionary(spark, index_dir, probe_terms)
     rows: list[tuple] = []
     for qid, k, mode, terms, n_required in parsed:
         for t in sorted(terms):
@@ -1159,6 +1196,7 @@ def run_queries(
             spark, index_dir, F.broadcast(matched_local.drop("bucket")),
             buckets, matched_local, n_docs, avgdl, use_bmw, tomb_bc,
             doc_shards, join_urls, include_bc,
+            single_qid=len({r[0] for r in matched_rows}) == 1,
         )
 
     # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
@@ -1347,6 +1385,7 @@ def _score_matched(
     doc_shards: int | None,
     join_urls: bool,
     include_bc=None,
+    single_qid: bool = False,
 ) -> DataFrame:
     """Scoring tail shared by the distributed and driver-side analysis
     paths: pruned segment scan -> broadcast matched-term join -> per-qid
@@ -1396,6 +1435,20 @@ def _score_matched(
             .where(F.col("rank") <= F.col("k"))
             .select("qid", F.col("rank").cast("int").alias("rank"), "doc_id", "score")
         )
+    elif single_qid:
+        # one query in the batch (the common gate/API shape): a narrow
+        # coalesce(1) + mapInPandas replaces the groupBy(qid) exchange,
+        # which AQE splits into two extra stage-jobs — the same shape the
+        # warm IndexSearcher path uses (optimization round 6). The pruned
+        # segment scan is small (the query's matched terms only), so one
+        # task decodes it in milliseconds; big batches keep the
+        # distributed groupBy.
+        def one_group(it):
+            batches = [pdf for pdf in it if len(pdf)]
+            if batches:
+                yield scorer(pd.concat(batches, ignore_index=True))
+
+        results = rows.coalesce(1).mapInPandas(one_group, RESULTS_SCHEMA)
     else:
         results = rows.groupBy("qid").applyInPandas(scorer, RESULTS_SCHEMA)
     if join_urls:

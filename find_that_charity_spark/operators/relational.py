@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 
 from find_that_charity_spark.functions.analyzer import analyze, tokenize_expr
 from find_that_charity_spark.functions.bm25 import bm25_sql, bm25_term_score_col, idf_col
-from find_that_charity_spark.sources.corpus import read_table
+from find_that_charity_spark.sources.corpus import read_table, widen_scan
 
 
 def relational_postings(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -45,6 +45,28 @@ def relational_doclen(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     )
 
 
+def _per_doc_term_freqs(
+    docs: DataFrame, terms: list[str], id_col: str, text_col: str
+) -> DataFrame:
+    """(doc_id, dl, tf_0..tf_n-1): one tokenize pass per doc, per-query-term
+    tf via ``size(tokens) - size(array_remove(tokens, t))`` — both native
+    codegen expressions, no explode and no (term, doc_id) inversion shuffle.
+    The tokens array is bound in its own projection so Catalyst's
+    CollapseProject keeps the (expensive, multiply-referenced)
+    ``regexp_extract_all`` evaluated once per row."""
+    tokens = docs.select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("tokens")
+    )
+    return tokens.select(
+        "doc_id",
+        F.size("tokens").alias("dl"),
+        *[
+            (F.size("tokens") - F.size(F.array_remove("tokens", t))).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_text: str,
@@ -58,34 +80,59 @@ def bm25_topk(
     floor(score * 1e4 + 0.5) — integer-quantized so cross-engine float
     rounding (JVM Math.log vs C libm) can't flip the driver's value-hash.
     Tie-break (B4): score DESC, doc_id ASC.
+
+    Plan shape (optimization round 6, guide §2.3/§2.4): the query-term set
+    is known at plan time, so per-doc tfs are computed as array expressions
+    in the scan projection instead of explode → groupBy(term, doc_id) →
+    3-way join. Two corpus passes total (one for the 1-row stats+df
+    aggregate — broadcast — and one for scoring into TakeOrdered), zero
+    non-broadcast shuffles; the old plan tokenized the corpus four times
+    and shuffled the full (term, doc_id) inversion twice. A term with
+    tf = 0 contributes exactly 0.0 to the sum (0 numerator, positive
+    denominator), so summing over all query terms equals the old
+    postings-join sum.
     """
     spark = docs.sparkSession
     terms = sorted(set(analyze(query_text)))
-    qterms = spark.createDataFrame([(t,) for t in terms], "term string")
+    if not terms:
+        return spark.createDataFrame(
+            [], "doc_id bigint, rank int, score_mil bigint"
+        )
 
-    postings = relational_postings(docs, id_col, text_col)
-    doclen = relational_doclen(docs, id_col, text_col)
-    stats = doclen.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    # widen_scan: parallelize the tokenize pass past row-group granularity
+    # (guide §2.5); lazy localCheckpoint: the stats subtree and the scoring
+    # subtree share ONE materialization of the (narrow — doc_id, dl, tfs)
+    # per-doc relation instead of re-tokenizing per consumer. Scoped to
+    # this query's DataFrame instance, reclaimed by the ContextCleaner
+    # when it is dropped — nothing survives across invocations.
+    perdoc = _per_doc_term_freqs(
+        widen_scan(docs), terms, id_col, text_col
+    ).localCheckpoint(eager=False)
+    stats = perdoc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
     )
 
+    matched_any = F.col("tf_0") > 0
+    for i in range(1, len(terms)):
+        matched_any = matched_any | (F.col(f"tf_{i}") > 0)
+    score = None
+    for i in range(len(terms)):
+        part = bm25_term_score_col(
+            F.col(f"tf_{i}"),
+            F.col("dl"),
+            idf_col(F.col("n_docs"), F.col(f"df_{i}")),
+            F.col("avgdl"),
+        )
+        score = part if score is None else score + part
     scored = (
-        postings.join(F.broadcast(qterms), "term")
-        .join(
-            postings.join(F.broadcast(qterms), "term")
-            .groupBy("term")
-            .agg(F.count(F.lit(1)).alias("df")),
-            "term",
-        )
-        .join(doclen, "doc_id")
+        perdoc.where(matched_any)
         .crossJoin(F.broadcast(stats))
-        .withColumn("idf", idf_col(F.col("n_docs"), F.col("df")))
-        .withColumn(
-            "part_score",
-            bm25_term_score_col(F.col("tf"), F.col("dl"), F.col("idf"), F.col("avgdl")),
-        )
-        .groupBy("doc_id")
-        .agg(F.sum("part_score").alias("score"))
+        .select("doc_id", score.alias("score"))
     )
     ranked = (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))

@@ -12,8 +12,11 @@ functions) — no Python in the hot loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, IntegerType
 
 
 def _dot(a: Column, b: Column) -> Column:
@@ -22,6 +25,64 @@ def _dot(a: Column, b: Column) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+# --- Arrow/numpy kernels (optimization round 6, guide §4.2) -----------------
+# Spark's higher-order functions (zip_with/aggregate) are CodegenFallback:
+# every element of every vector costs an interpreted lambda call, so a
+# 64-dim dot product is ~128 virtual dispatches. The same math as one
+# numpy matrix-vector product over an Arrow batch is orders of magnitude
+# cheaper per row; only the vector column crosses the Python boundary.
+# Same formula, float64 throughout — quantized outputs (1e-4) absorb the
+# summation-order ULPs exactly as they do between the JVM and DuckDB.
+
+
+def _stack(s: pd.Series) -> np.ndarray:
+    if len(s) == 0:
+        return np.empty((0, 1), dtype=np.float64)
+    return np.stack([np.asarray(v, dtype=np.float64) for v in s])
+
+
+def cos_vs_query_udf(q: np.ndarray):
+    """pandas_udf: cosine(vec, q) with q fixed — dot/(|vec||q|)."""
+    qd = np.asarray(q, dtype=np.float64)
+    qn = float(np.sqrt(qd @ qd))
+
+    @pandas_udf(DoubleType())
+    def _cos(vs: pd.Series) -> pd.Series:
+        m = _stack(vs)
+        num = m @ qd
+        den = np.sqrt(np.einsum("ij,ij->i", m, m)) * qn
+        return pd.Series(num / den)
+
+    return _cos
+
+
+@pandas_udf(DoubleType())
+def cos_pair_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """pandas_udf: cosine(va, vb) element-wise over two vector columns."""
+    a = _stack(va)
+    b = _stack(vb)
+    num = np.einsum("ij,ij->i", a, b)
+    den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
+        np.einsum("ij,ij->i", b, b)
+    )
+    return pd.Series(num / den)
+
+
+def srp_bucket_udf(planes: np.ndarray):
+    """pandas_udf twin of :func:`srp_bucket_expr`: sign bits of <v, plane_i>
+    packed little-endian into an int bucket id."""
+    pt = np.ascontiguousarray(np.asarray(planes, dtype=np.float64).T)
+    pows = (1 << np.arange(planes.shape[0], dtype=np.int64))
+
+    @pandas_udf(IntegerType())
+    def _bucket(vs: pd.Series) -> pd.Series:
+        m = _stack(vs)
+        bits = (m @ pt) > 0
+        return pd.Series((bits @ pows).astype(np.int32))
+
+    return _bucket
 
 
 def cosine_topk_brute(
@@ -38,9 +99,7 @@ def cosine_topk_brute(
     """
     q = emb.where(F.col(id_col) == query_vec_id).select(F.col(vec_col).alias("qvec"))
     joined = emb.where(F.col(id_col) != query_vec_id).crossJoin(F.broadcast(q))
-    cos = _dot(F.col(vec_col), F.col("qvec")) / (
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-    )
+    cos = cos_pair_udf(F.col(vec_col), F.col("qvec"))
     ranked = (
         joined.withColumn("cos", cos)
         .orderBy(F.desc("cos"), F.asc(id_col))
@@ -163,11 +222,7 @@ def ivf_cosine_topk(
     cand = assigned.where(F.col("centroid").isin(probes))
     if exclude_id is not None:
         cand = cand.where(F.col(id_col) != exclude_id)
-    qvec = F.array(*[F.lit(float(x)) for x in q])
-    cos = _dot(F.col(vec_col), qvec) / (
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col)))
-        * F.lit(float(np.sqrt((q * q).sum())))
-    )
+    cos = cos_vs_query_udf(q)(F.col(vec_col))
     return (
         cand.withColumn("cos", cos)
         .orderBy(F.desc("cos"), F.asc(id_col))
@@ -241,7 +296,7 @@ def embedding_cosine_pairs(
     planes = rng.standard_normal((n_bits, dim))
     bucketed = emb.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", srp_bucket_expr("vec", planes))
+    ).withColumn("bucket", srp_bucket_udf(planes)("vec"))
     masks = [0] + [
         sum(1 << b for b in bits)
         for r in range(1, probe_radius + 1)
@@ -268,9 +323,7 @@ def embedding_cosine_pairs(
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    cos = _dot(F.col("va"), F.col("vb")) / (
-        F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb")))
-    )
+    cos = cos_pair_udf(F.col("va"), F.col("vb"))
     return (
         cand.withColumn("cos", cos)
         .where(F.col("cos") >= threshold)
@@ -304,7 +357,7 @@ def cosine_topk_lsh(
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
-    bucketed = emb.withColumn("bucket", srp_bucket_expr(vec_col, planes))
+    bucketed = emb.withColumn("bucket", srp_bucket_udf(planes)(vec_col))
     qrow = bucketed.where(F.col(id_col) == query_vec_id).select("bucket", F.col(vec_col).alias("qvec"))
     masks = [0] + [
         sum(1 << b for b in bits)
@@ -318,9 +371,7 @@ def cosine_topk_lsh(
         "qvec",
     )
     cand = bucketed.where(F.col(id_col) != query_vec_id).join(F.broadcast(neigh), "bucket")
-    cos = _dot(F.col(vec_col), F.col("qvec")) / (
-        F.sqrt(_dot(F.col(vec_col), F.col(vec_col))) * F.sqrt(_dot(F.col("qvec"), F.col("qvec")))
-    )
+    cos = cos_pair_udf(F.col(vec_col), F.col("qvec"))
     return (
         cand.withColumn("cos", cos)
         .orderBy(F.desc("cos"), F.asc(id_col))

@@ -67,3 +67,28 @@ def read_corpus(
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver fixture table (TESTDATA.md) by name."""
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def widen_scan(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
+    """Round-robin repartition a scan whose natural parallelism is below
+    the session's core count (optimization round 6, guide §2.5 "input
+    skew: one huge unsplittable file ... repartition immediately after
+    the read").
+
+    Parquet scans parallelize at row-group granularity, so a
+    single-row-group file is ONE task no matter what
+    ``maxPartitionBytes`` says — the driver's fixture tables are exactly
+    that shape, and every tokenize/hash/decode pass over them was running
+    single-threaded on a 32-core session. The check is plan-time only
+    (``rdd.getNumPartitions`` launches no job); a well-laid-out input
+    (≥ cores row groups / files, the 100-TB case) is returned unchanged,
+    so this never adds a shuffle where the scan already spreads.
+
+    Apply ONLY where real per-row compute follows the scan: the shuffle
+    moves the raw rows once (guide §2.3), which only pays for itself when
+    the downstream work per row dwarfs a row's shuffle cost."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, int(target * min_factor)):
+        return df.repartition(target)
+    return df
