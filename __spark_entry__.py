@@ -177,11 +177,13 @@ def _q_segments_after_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus. Updated docs (new text lacks the flagship terms) never match —
     their absence IS the 'stale doc is gone' assertion."""
     idx = _ensure_updated_index(spark, sf_dir, vacuumed=True)
+    qrows = [{"qid": "q1", "text": FLAGSHIP_QUERY, "k": 10, "mode": "freetext"}]
     qdf = spark.createDataFrame(
         [("q1", FLAGSHIP_QUERY, 10, "freetext")],
         "qid string, text string, k int, mode string",
     )
-    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True,
+                      prefetched_qrows=qrows)
     return res.select(
         F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
         F.col("rank").cast("int").alias("rank"),
@@ -200,11 +202,13 @@ def _q_segments_updated_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the deterministic contract. k exceeds every possible match count, so
     the cutoff never binds."""
     idx = _ensure_updated_index(spark, sf_dir, vacuumed=False)
+    qrows = [{"qid": "q1", "text": "zzupdated", "k": 50_000, "mode": "freetext"}]
     qdf = spark.createDataFrame(
         [("q1", "zzupdated", 50_000, "freetext")],
         "qid string, text string, k int, mode string",
     )
-    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True,
+                      prefetched_qrows=qrows)
     return res.select(
         F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
         F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
@@ -292,12 +296,13 @@ def _q_segments_filter_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dtype=np.int64,
     )
+    qrows = [{"qid": "q1", "text": FLAGSHIP_QUERY, "k": 10, "mode": "freetext"}]
     qdf = spark.createDataFrame(
         [("q1", FLAGSHIP_QUERY, 10, "freetext")],
         "qid string, text string, k int, mode string",
     )
     res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True,
-                      include_doc_ids=inc)
+                      include_doc_ids=inc, prefetched_qrows=qrows)
     return res.select(
         F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
         F.col("rank").cast("int").alias("rank"),
@@ -432,11 +437,13 @@ def _q_segments_tiered(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-update corpus (df of the marker term and refreshed n_docs/avgdl
     are exact pre-vacuum, as in bm25_segments_updated_docs)."""
     idx = _ensure_updated_index(spark, sf_dir, vacuumed=False, tiered=True)
+    qrows = [{"qid": "q1", "text": "zzupdated", "k": 50_000, "mode": "freetext"}]
     qdf = spark.createDataFrame(
         [("q1", "zzupdated", 50_000, "freetext")],
         "qid string, text string, k int, mode string",
     )
-    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True,
+                      prefetched_qrows=qrows)
     return res.select(
         F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
         F.floor(F.col("score") * 1e4 + F.lit(0.5)).cast("bigint").alias("score_mil"),
@@ -448,10 +455,16 @@ def _segment_topk(
     codec: str = "varint",
 ) -> DataFrame:
     idx = _ensure_segment_index(spark, sf_dir, codec)
+    # the batch is built driver-side, so hand the rows to run_queries
+    # directly (prefetched_qrows): the take_wide size probe on a
+    # pickled-RDD-backed local relation cost one ~0.3 s Python-worker job
+    # per gate call (optimization round 6 batch 2, guide §1/§5)
+    qrows = [{"qid": "q1", "text": text, "k": k, "mode": mode}]
     qdf = spark.createDataFrame(
         [("q1", text, k, mode)], "qid string, text string, k int, mode string"
     )
-    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True)
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True,
+                      prefetched_qrows=qrows)
     return res.select(
         F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
         F.col("rank").cast("int").alias("rank"),
@@ -908,11 +921,14 @@ def _q_add_to_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from find_that_charity_spark.operators.recon import add_to_csv
 
     idx = _ensure_segment_index(spark, sf_dir)
-    user = spark.createDataFrame(
-        [("r1", "customer query"), ("r2", "slow fast table"), ("r3", "zzz unmatchable")],
-        "row_id string, name string",
+    user_rows = [("r1", "customer query"), ("r2", "slow fast table"), ("r3", "zzz unmatchable")]
+    user = spark.createDataFrame(user_rows, "row_id string, name string")
+    from pyspark.sql import Row as _Row
+
+    out = add_to_csv(
+        spark, idx, user, "name",
+        prefetched_rows=[_Row(row_id=a, name=b) for a, b in user_rows],
     )
-    out = add_to_csv(spark, idx, user, "name")
     return out.select(
         "row_id",
         F.coalesce(
@@ -967,11 +983,13 @@ def _q_segments_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_shards path: one query scored in 4 parallel doc-range shards,
     shard top-ks merged by a window — must equal the unsharded oracle."""
     idx = _ensure_segment_index(spark, sf_dir)
+    qrows = [{"qid": "q1", "text": FLAGSHIP_QUERY, "k": 10, "mode": "freetext"}]
     qdf = spark.createDataFrame(
         [("q1", FLAGSHIP_QUERY, 10, "freetext")],
         "qid string, text string, k int, mode string",
     )
-    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True, doc_shards=4)
+    res = run_queries(spark, idx, qdf, use_bmw=True, join_urls=True, doc_shards=4,
+                      prefetched_qrows=qrows)
     return res.select(
         F.regexp_extract("url", r"doc://(\d+)", 1).cast("bigint").alias("doc_id"),
         F.col("rank").cast("int").alias("rank"),

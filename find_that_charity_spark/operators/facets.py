@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 
 from find_that_charity_spark.functions.analyzer import analyze, analyze_name
 from find_that_charity_spark.functions.codec import decode_postings
-from find_that_charity_spark.operators.query import read_tombstones
+from find_that_charity_spark.operators.query import cached_parquet, read_tombstones
 from find_that_charity_spark.plans.checkpoint import check_format
 
 _IDS_SCHEMA = "doc_id long"
@@ -79,7 +79,7 @@ def _matched_live_ids(
     buckets = sorted({b for _, b in by_term.values()})
     hit_terms = sorted(by_term)
     segments = (
-        spark.read.parquet(f"{index_dir}/segments")
+        cached_parquet(spark, f"{index_dir}/segments")
         .where(F.col("bucket").isin(buckets))       # partition filter (D3)
         .where(F.col("term").isin(hit_terms))       # row-group pushdown
         .select("postings", "blockmax")
@@ -108,7 +108,7 @@ def facet_counts(
     check_format(index_dir)
     analyzer = analyze_name if mode == "recon" else analyze
     terms = sorted(set(analyzer(query_text)))
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    docs = cached_parquet(spark, f"{index_dir}/docs")
     empty = docs.select(
         F.col(facet_col).cast("string").alias("facet"),
         F.lit(0).cast("long").alias("matches"),
@@ -150,7 +150,7 @@ def search_after_page(
     check_format(index_dir)
     analyzer = analyze_name if mode == "recon" else analyze
     terms = sorted(set(analyzer(query_text)))
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    docs = cached_parquet(spark, f"{index_dir}/docs")
     empty = docs.select(
         F.col("doc_id").cast("long"),
         F.col(sort_col).cast("long").alias("sort_key"),
@@ -191,7 +191,7 @@ def facet_cardinality(
     check_format(index_dir)
     analyzer = analyze_name if mode == "recon" else analyze
     terms = sorted(set(analyzer(query_text)))
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    docs = cached_parquet(spark, f"{index_dir}/docs")
     if terms:
         ids = _matched_live_ids(spark, index_dir, terms)
     else:
@@ -233,7 +233,7 @@ def facet_top_hits(
     check_format(index_dir)
     analyzer = analyze_name if mode == "recon" else analyze
     terms = sorted(set(analyzer(query_text)))
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    docs = cached_parquet(spark, f"{index_dir}/docs")
     empty = docs.select(
         F.col(facet_col).cast("string").alias("facet"),
         F.lit(0).cast("int").alias("pos"),
@@ -302,9 +302,9 @@ def significant_terms(
     fg_total = ids.count()
     if fg_total == 0:
         return spark.createDataFrame([], out_schema)
-    stats = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+    stats = cached_parquet(spark, f"{index_dir}/corpus_stats").collect()[0]
     n_docs = int(stats["n_docs"])
-    docs_tbl = spark.read.parquet(f"{index_dir}/docs").select(
+    docs_tbl = cached_parquet(spark, f"{index_dir}/docs").select(
         "doc_id", F.col("url").alias("__u")
     )
     matched_urls = docs_tbl.join(ids, "doc_id").select("__u")
@@ -316,7 +316,7 @@ def significant_terms(
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("fg"))
     )
-    bg = spark.read.parquet(f"{index_dir}/dictionary").select("term", "df")
+    bg = cached_parquet(spark, f"{index_dir}/dictionary").select("term", "df")
     fg_rate = F.col("fg") / F.lit(float(fg_total))
     bg_rate = F.col("df") / F.lit(float(n_docs))
     return (
@@ -351,7 +351,7 @@ def facet_histogram(
     check_format(index_dir)
     analyzer = analyze_name if mode == "recon" else analyze
     terms = sorted(set(analyzer(query_text)))
-    docs = spark.read.parquet(f"{index_dir}/docs")
+    docs = cached_parquet(spark, f"{index_dir}/docs")
     bucket_lo = (
         F.floor(F.col(value_col) / F.lit(interval)) * F.lit(interval)
     ).cast("long").alias("bucket_lo")

@@ -32,6 +32,7 @@ from find_that_charity_spark.functions.analyzer import analyze, tokenize_expr
 from find_that_charity_spark.operators.query import (
     _decode_cursor_positions,
     _make_cursor,
+    cached_parquet,
     run_queries,
 )
 from find_that_charity_spark.plans.checkpoint import check_format
@@ -110,12 +111,14 @@ def highlight_topk(
         url_to_id = lambda u: int(re.search(r"(\d+)$", u).group(1))  # noqa: E731
     check_format(index_dir)
     terms = sorted(set(analyze(query_text)))
+    qrows = [{"qid": "hq", "text": query_text, "k": k, "mode": "freetext"}]
     qdf = spark.createDataFrame(
         [("hq", query_text, k, "freetext")],
         "qid string, text string, k int, mode string",
     )
     # top-k rows are tiny (k) — driver-side from here on
-    res = run_queries(spark, index_dir, qdf, use_bmw=True, join_urls=True)
+    res = run_queries(spark, index_dir, qdf, use_bmw=True, join_urls=True,
+                      prefetched_qrows=qrows)
     top = res.select("rank", "doc_id", "score", "url").collect()
     out_schema = (
         "doc_id bigint, rank int, score_mil bigint, first_hit int, "
@@ -128,13 +131,16 @@ def highlight_topk(
     # positional postings of the query terms, pruned three ways: bucket
     # partition filter, term IN-list, and doc-range overlap with the k ids
     # (dictionary probe mtime-cached driver-side — zero jobs warm, r06)
-    from find_that_charity_spark.operators.query import probe_dictionary
+    from find_that_charity_spark.operators.query import (
+        _driver_score_max_postings,
+        probe_dictionary,
+    )
 
     by_term = probe_dictionary(spark, index_dir, terms)
     buckets = sorted({b for _, b in by_term.values()})
     hit_terms = sorted(by_term)
-    segments = (
-        spark.read.parquet(f"{index_dir}/segments")
+    seg_src = (
+        cached_parquet(spark, f"{index_dir}/segments")
         .where(F.col("bucket").isin(buckets))
         .where(F.col("term").isin(hit_terms))
         .where(
@@ -143,8 +149,85 @@ def highlight_topk(
         )
         .select("has_positions", "postings", "blockmax")
     )
+
+    # Fused driver tail (optimization round 6 batch 2, VERDICT r05 item 7):
+    # the three sequential job groups (top-k -> positional decode ->
+    # stored-row re-analysis) stacked ~1 s of constant stage latency. The
+    # postings volume of the query terms is known exactly from the
+    # dictionary probe, so under the same bound the driver-side scoring
+    # tail uses, the pruned segment rows and the k stored rows are pulled
+    # with two pushed IN-list jobs and the first-hit decode + snippet
+    # slice run in-process — the SAME numpy kernels / the byte-equal
+    # ASCII tokenization (`[a-z0-9]+` on lowered text, identical to
+    # tokenize_expr). Over-bound queries keep the distributed tail below.
+    total_postings = sum(df for df, _ in by_term.values())
+    if total_postings <= _driver_score_max_postings():
+        first_hit_of: dict[int, int] = {}
+        for sr in seg_src.collect():
+            assert bool(sr["has_positions"]), (
+                "highlight_topk needs a positional index "
+                "(BuildConfig.positions=True)"
+            )
+            c = _make_cursor(0.0, sr["postings"], sr["blockmax"], 1.0)
+            docs, tfs, _dls, pos = _decode_cursor_positions(
+                c, int(ids_sorted[0]), int(ids_sorted[-1]) + 1
+            )
+            if not docs.size:
+                continue
+            idx = np.searchsorted(ids_sorted, docs)
+            idx[idx == ids_sorted.size] = 0
+            mask = ids_sorted[idx] == docs
+            if not mask.any():
+                continue
+            bounds = np.concatenate([[0], np.cumsum(tfs)]).astype(np.int64)
+            for d, p0 in zip(
+                docs[mask].tolist(), pos[bounds[:-1][mask]].tolist()
+            ):
+                prev = first_hit_of.get(d)
+                if prev is None or p0 < prev:
+                    first_hit_of[d] = int(p0)
+        corpus_ids = sorted({url_to_id(r["url"]) for r in top})
+        stored_rows = (
+            corpus.where(F.col(id_col).isin(corpus_ids))
+            .select(F.col(id_col).cast("long").alias("corpus_id"), text_col)
+            .collect()
+        )
+        import re as _re
+
+        from find_that_charity_spark.functions.analyzer import ASCII_TOKEN_PATTERN
+
+        ascii_re = _re.compile(ASCII_TOKEN_PATTERN)
+        toks_of = {
+            int(r["corpus_id"]): ascii_re.findall((r[text_col] or "").lower())
+            for r in stored_rows
+        }
+        out_rows = []
+        for r in top:
+            d = int(r["doc_id"])
+            cid = url_to_id(r["url"])
+            # inner-join semantics, identical to the distributed plan: a
+            # top doc missing a first hit or a stored row drops its row
+            if d not in first_hit_of or cid not in toks_of:
+                continue
+            fh = first_hit_of[d] + 1  # 1-based, as the JVM agg computes
+            toks = toks_of[cid]
+            snippet = " ".join(toks[fh - 1 : fh - 1 + window])
+            out_rows.append(
+                (cid, int(r["rank"]), int(np.floor(r["score"] * 1e4 + 0.5)),
+                 fh, snippet)
+            )
+        if not out_rows:
+            return spark.createDataFrame([], out_schema)
+        return spark.createDataFrame(
+            pd.DataFrame(
+                out_rows,
+                columns=["doc_id", "rank", "score_mil", "first_hit", "snippet"],
+            ),
+            schema=out_schema,
+        )
+
     first_hits = (
-        segments.mapInPandas(_make_first_hit_decoder(ids_sorted), _HIT_SCHEMA)
+        seg_src.mapInPandas(_make_first_hit_decoder(ids_sorted), _HIT_SCHEMA)
         .groupBy("doc_id")
         .agg((F.min("pos0") + F.lit(1)).cast("int").alias("first_hit"))
     )

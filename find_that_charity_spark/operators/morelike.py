@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 
 from find_that_charity_spark.functions.analyzer import analyze
 from find_that_charity_spark.functions.bm25 import idf_np
-from find_that_charity_spark.operators.query import load_stats, run_queries
+from find_that_charity_spark.operators.query import cached_parquet, load_stats, run_queries
 from find_that_charity_spark.plans.checkpoint import check_format
 
 
@@ -79,13 +79,14 @@ def more_like_this(
         exclude_ids = np.array(
             sorted(
                 int(r["doc_id"])
-                for r in spark.read.parquet(f"{index_dir}/docs")
+                for r in cached_parquet(spark, f"{index_dir}/docs")
                 .where(F.col("url").isin(sorted(exclude_urls)))
                 .select("doc_id")
                 .collect()
             ),
             dtype=np.int64,
         )
+    qrows = [{"qid": "mlt", "text": " ".join(terms), "k": k, "mode": "freetext"}]
     qdf = spark.createDataFrame(
         [("mlt", " ".join(terms), k, "freetext")],
         "qid string, text string, k int, mode string",
@@ -97,6 +98,7 @@ def more_like_this(
         use_bmw=True,
         join_urls=True,
         exclude_doc_ids=exclude_ids,
+        prefetched_qrows=qrows,
     )
     return res.select(
         "url",

@@ -592,7 +592,7 @@ def read_tombstones(spark: SparkSession, index_dir: str) -> np.ndarray:
         if hit is not None and hit[0] == key:
             return hit[1]
     try:
-        rows = spark.read.parquet(path).select("doc_id").distinct().collect()
+        rows = cached_parquet(spark, path).select("doc_id").distinct().collect()
     except AnalysisException:  # remote store without a tombstones dir
         return np.empty(0, dtype=np.int64)
     out = np.sort(np.array([r[0] for r in rows], dtype=np.int64))
@@ -619,6 +619,8 @@ def _local_mtime_key(path: str) -> tuple | None:
     local = strip_file_scheme(path)
     if "://" in local:
         return None
+    if os.path.isfile(local):  # single-file table (e.g. fixture parquet)
+        return ((local, os.stat(local).st_mtime_ns),)
     sig = []
     for dirpath, _dirs, files in os.walk(local):
         sig.append((dirpath, os.stat(dirpath).st_mtime_ns))
@@ -629,6 +631,36 @@ def _local_mtime_key(path: str) -> tuple | None:
             except FileNotFoundError:  # racing writer: fall back to fresh read
                 return None
     return tuple(sig)
+
+
+# mtime-keyed parquet READER cache (optimization round 6, batch 2): every
+# `spark.read.parquet(path)` pays a driver file-listing/schema-inference
+# job (~20-30 ms measured) plus InMemoryFileIndex construction — and the
+# warm query path opened dictionary/segments/docs readers afresh on every
+# call. A DataFrame is only a plan, so reusing it is free; the cached
+# reader's file listing is frozen at creation, hence the same mtime
+# signature the stats/tombstone caches use invalidates it whenever any
+# writer (refresh, vacuum, compaction) touches the directory. Remote
+# schemes (no cheap freshness signal) skip the cache. Keyed per
+# SparkContext application so a stopped session's plans are never reused.
+_PARQUET_READER_CACHE: dict[str, object] = {"app": None, "readers": {}}
+
+
+def cached_parquet(spark: SparkSession, path: str) -> DataFrame:
+    app = spark.sparkContext.applicationId
+    if _PARQUET_READER_CACHE["app"] != app:
+        _PARQUET_READER_CACHE["app"] = app
+        _PARQUET_READER_CACHE["readers"] = {}
+    sig = _local_mtime_key(path)
+    if sig is None:
+        return spark.read.parquet(path)
+    readers: dict = _PARQUET_READER_CACHE["readers"]
+    hit = readers.get(path)
+    if hit is not None and hit[0] == sig:
+        return hit[1]
+    df = spark.read.parquet(path)
+    readers[path] = (sig, df)
+    return df
 
 
 # term -> (df, bucket) probe results, accumulated lazily per index and
@@ -658,7 +690,7 @@ def probe_dictionary(
     todo = sorted({t for t in terms if t not in known and t not in missing})
     if todo:
         rows = (
-            spark.read.parquet(f"{index_dir}/dictionary")
+            cached_parquet(spark, f"{index_dir}/dictionary")
             .where(F.col("term").isin(todo))
             .select("term", "df", "bucket")
             .collect()
@@ -681,7 +713,7 @@ def load_stats(spark: SparkSession, index_dir: str) -> tuple[int, float]:
         hit = _STATS_CACHE.get(index_dir)
         if hit is not None and hit[0] == key:
             return hit[1], hit[2]
-    row = spark.read.parquet(f"{index_dir}/corpus_stats").collect()[0]
+    row = cached_parquet(spark, f"{index_dir}/corpus_stats").collect()[0]
     out = (int(row["n_docs"]), float(row["avgdl"]))
     if key is not None:
         _STATS_CACHE[index_dir] = (key, *out)
@@ -773,6 +805,56 @@ class IndexSearcher:
             return []
         buckets = sorted({b for b, _ in by_term.values()})
         hit_terms = [t for t in all_terms if t in by_term]
+        # Driver-side scoring tail (optimization round 6 batch 2): the
+        # pinned dictionary gives the exact postings volume up front, so a
+        # bounded query pulls its pruned segment rows from the
+        # executor-cached segments relation in ONE collect job and scores
+        # in-process with the same numpy scorer — no Python-worker round
+        # trip at all. Over-bound (stop-word) queries keep the
+        # mapInPandas path below.
+        total_postings = sum(by_term[t][1] for t in hit_terms)
+        if total_postings <= _driver_score_max_postings():
+            seg_rows = (
+                self.segments.where(F.col("bucket").isin(buckets))
+                .where(F.col("term").isin(hit_terms))
+                .select(
+                    "term", "min_doc", "max_doc", "has_positions",
+                    "postings", "blockmax",
+                )
+                .collect()
+            )
+            recs = []
+            for sr in seg_rows:
+                t = sr["term"]
+                recs.append(
+                    (
+                        "q", int(k), mode, t in neg,
+                        float(boosts.get(t, 1.0)),
+                        offsets.get(t) or None, len(pos), t,
+                        int(by_term[t][1]), sr["min_doc"], sr["max_doc"],
+                        sr["has_positions"], sr["postings"], sr["blockmax"],
+                    )
+                )
+            if not recs:
+                return []
+            scorer = make_query_scorer(
+                self.n_docs, self.avgdl, use_bmw=True,
+                tombstones=self._tomb_bc,
+            )
+            out_pdf = scorer(
+                pd.DataFrame(
+                    recs,
+                    columns=[
+                        "qid", "k", "mode", "neg", "boost", "q_offsets",
+                        "n_required", "term", "df", "min_doc", "max_doc",
+                        "has_positions", "postings", "blockmax",
+                    ],
+                )
+            )
+            return [
+                (int(r.rank), int(r.doc_id), float(r.score))
+                for r in out_pdf.itertuples(index=False)
+            ]
         # ONE Spark job warm: every per-query constant (df, neg flag,
         # q_offsets) is attached as a literal map expression instead of a
         # broadcast-joined query DataFrame (that join costs a broadcast
@@ -1030,7 +1112,7 @@ def _analyze_batch_driver(
         try:
             cand = [
                 r["term"]
-                for r in spark.read.parquet(f"{index_dir}/fuzzy_keys")
+                for r in cached_parquet(spark, f"{index_dir}/fuzzy_keys")
                 .where(F.col("key").isin(all_keys))
                 .select("term")
                 .distinct()
@@ -1113,6 +1195,104 @@ def take_wide(df: DataFrame, n: int) -> list:
                 spark.conf.set(key, prev)
 
 
+def _driver_score_max_postings() -> int:
+    """Postings-volume bound for the driver-side scoring tail. The default
+    (2M postings ≈ a few MB of blobs, positions included) keeps the pull
+    far below driver comfort; production tunes it via env. 0 disables the
+    driver tail entirely (every batch scores distributed)."""
+    return int(os.environ.get("FTC_DRIVER_SCORE_MAX_POSTINGS", "2000000"))
+
+
+def _score_driver(
+    spark: SparkSession,
+    index_dir: str,
+    matched_rows: list[tuple],
+    n_docs: int,
+    avgdl: float,
+    use_bmw: bool,
+    tomb: np.ndarray,
+    include_arr: "np.ndarray | None",
+    join_urls: bool,
+) -> DataFrame:
+    """Driver-side twin of :func:`_score_matched` for small batches with
+    bounded postings volume (see run_queries): ONE pushed IN-list segments
+    job fetches the query terms' posting rows, the same
+    ``make_query_scorer`` kernel scores them in-process, and the url
+    join-back becomes a pushed IN-list docs probe over the k result ids.
+    Semantics are identical by construction — same scorer, same per-qid
+    grouping, same inner-join url attach — and the batched-path equality
+    is pinned by tests."""
+    segs = cached_parquet(spark, f"{index_dir}/segments")
+    buckets = sorted({r[8] for r in matched_rows})
+    terms = sorted({r[6] for r in matched_rows})
+    seg_rows = (
+        segs.where(F.col("bucket").isin(buckets))
+        .where(F.col("term").isin(terms))
+        .select("term", "min_doc", "max_doc", "has_positions", "postings", "blockmax")
+        .collect()
+    )
+    by_term: dict[str, list] = {}
+    for sr in seg_rows:
+        by_term.setdefault(sr["term"], []).append(sr)
+    scorer = make_query_scorer(
+        n_docs, avgdl, use_bmw=use_bmw,
+        tombstones=tomb if tomb.size else None, include=include_arr,
+    )
+    by_qid: dict[str, list] = {}
+    for r in matched_rows:
+        by_qid.setdefault(r[0], []).append(r)
+    cols = [
+        "qid", "k", "mode", "neg", "boost", "q_offsets", "n_required",
+        "term", "df", "min_doc", "max_doc", "has_positions", "postings",
+        "blockmax",
+    ]
+    frames = []
+    for qid in sorted(by_qid):
+        recs = []
+        for (q, k, mode, neg, boost, q_offsets, term, df, _bucket, n_req) in by_qid[qid]:
+            for sr in by_term.get(term, ()):
+                recs.append(
+                    (q, k, mode, neg, boost, q_offsets, n_req, term, df,
+                     sr["min_doc"], sr["max_doc"], sr["has_positions"],
+                     sr["postings"], sr["blockmax"])
+                )
+        if not recs:
+            continue
+        out = scorer(pd.DataFrame(recs, columns=cols))
+        if len(out):
+            frames.append(out)
+    if frames:
+        res = pd.concat(frames, ignore_index=True)
+    else:
+        res = pd.DataFrame(
+            {"qid": pd.Series([], dtype=str),
+             "rank": pd.Series([], dtype=np.int32),
+             "doc_id": pd.Series([], dtype=np.int64),
+             "score": pd.Series([], dtype=np.float64)}
+        )
+    if not join_urls:
+        return spark.createDataFrame(res, schema=RESULTS_SCHEMA)
+    url_of: dict[int, str] = {}
+    if len(res):
+        ids = sorted({int(d) for d in res["doc_id"]})
+        docs = cached_parquet(spark, f"{index_dir}/docs")
+        url_of = {
+            int(r["doc_id"]): r["url"]
+            for r in docs.where(F.col("doc_id").isin(ids))
+            .select("doc_id", "url")
+            .collect()
+        }
+        # inner-join semantics, exactly like docs.join(broadcast(results)):
+        # a result id absent from the docs table drops its row
+        keep = res["doc_id"].map(lambda d: int(d) in url_of)
+        res = res[keep].reset_index(drop=True)
+    res = res.assign(url=[url_of[int(d)] for d in res["doc_id"]])
+    res = res[["qid", "rank", "doc_id", "url", "score"]]
+    return spark.createDataFrame(
+        res, schema="qid string, rank int, doc_id long, url string, score double"
+    )
+
+
 def run_queries(
     spark: SparkSession,
     index_dir: str,
@@ -1157,17 +1337,12 @@ def run_queries(
     tomb = read_tombstones(spark, index_dir)
     if exclude_doc_ids is not None and len(exclude_doc_ids):
         tomb = np.union1d(tomb, np.asarray(exclude_doc_ids, dtype=np.int64))
-    # one broadcast per batch: the (small, vacuum-bounded) tombstone set
-    # ships once per executor, not once per scorer task closure
-    tomb_bc = spark.sparkContext.broadcast(tomb) if tomb.size else None
-    include_bc = (
-        spark.sparkContext.broadcast(
-            np.asarray(include_doc_ids, dtype=np.int64)
-        )
+    include_arr = (
+        np.asarray(include_doc_ids, dtype=np.int64)
         if include_doc_ids is not None
         else None
     )
-    dictionary = spark.read.parquet(f"{index_dir}/dictionary")
+    dictionary = cached_parquet(spark, f"{index_dir}/dictionary")
 
     # SMALL batches take the driver-side analysis shortcut: plain-Python
     # analyzers + ONE pushed IN-list dictionary probe replace the dozen
@@ -1189,15 +1364,45 @@ def run_queries(
         matched_rows = _analyze_batch_driver(spark, index_dir, dictionary, qrows)
         if not matched_rows:
             return spark.createDataFrame([], RESULTS_SCHEMA)
+        # Driver-side scoring tail (optimization round 6 batch 2): the
+        # dictionary probe already yields the EXACT postings volume of the
+        # batch (sum of matched df), so when it is bounded the pruned
+        # segment rows are pulled driver-side in ONE pushed IN-list job
+        # and scored with the same numpy scorer the executor task would
+        # run — replacing the broadcast-build + mapInPandas + docs-join
+        # stage sequence (3 jobs + a Python-worker round trip, ~0.5 s
+        # constant at local[32]) with one job. This is the warm-searcher
+        # regime ES serves from a data node's heap; a hot-term batch that
+        # exceeds the bound (the 100-TB stop-word case) keeps the
+        # distributed scoring tail. Guard is parameterised, never a
+        # result cache: every call re-reads the store.
+        total_postings = sum(int(r[7]) for r in matched_rows)
+        if (not doc_shards or doc_shards <= 1) and total_postings <= _driver_score_max_postings():
+            return _score_driver(
+                spark, index_dir, matched_rows, n_docs, avgdl, use_bmw,
+                tomb, include_arr, join_urls,
+            )
         matched_local = spark.createDataFrame(matched_rows, _MATCHED_SCHEMA)
         # row layout follows _MATCHED_SCHEMA: bucket is the 9th field
         buckets = sorted({r[8] for r in matched_rows})
         return _score_matched(
             spark, index_dir, F.broadcast(matched_local.drop("bucket")),
-            buckets, matched_local, n_docs, avgdl, use_bmw, tomb_bc,
-            doc_shards, join_urls, include_bc,
+            buckets, matched_local, n_docs, avgdl, use_bmw,
+            spark.sparkContext.broadcast(tomb) if tomb.size else None,
+            doc_shards, join_urls,
+            spark.sparkContext.broadcast(include_arr)
+            if include_arr is not None
+            else None,
             single_qid=len({r[0] for r in matched_rows}) == 1,
         )
+    # one broadcast per batch: the (small, vacuum-bounded) tombstone set
+    # ships once per executor, not once per scorer task closure
+    tomb_bc = spark.sparkContext.broadcast(tomb) if tomb.size else None
+    include_bc = (
+        spark.sparkContext.broadcast(include_arr)
+        if include_arr is not None
+        else None
+    )
 
     # D1 + D7 parse: words prefixed '-' are exclusions (ES bool must_not);
     # mode 'bool_and' makes every positive term required (conjunctive);
@@ -1294,7 +1499,7 @@ def run_queries(
     from find_that_charity_spark.functions.fuzzy import deletion_keys_expr
 
     try:  # build-time deletion index (df-free: key -> term only)
-        cand_terms = spark.read.parquet(f"{index_dir}/fuzzy_keys").select(
+        cand_terms = cached_parquet(spark, f"{index_dir}/fuzzy_keys").select(
             "key", "term"
         )
     except Exception:  # older index without fuzzy_keys: expand inline
@@ -1391,7 +1596,7 @@ def _score_matched(
     paths: pruned segment scan -> broadcast matched-term join -> per-qid
     (or per-shard) scorer -> optional url join-back."""
     # D3: bucket IN-list reaches the parquet scan as a partition filter
-    segments = spark.read.parquet(f"{index_dir}/segments").where(
+    segments = cached_parquet(spark, f"{index_dir}/segments").where(
         F.col("bucket").isin(buckets)
     )
     rows = segments.join(
@@ -1457,7 +1662,7 @@ def _score_matched(
         # AQE usually picks this at runtime, but the guaranteed plan beats
         # the usual one at the 100x setting where a sort-merge fallback
         # would shuffle the whole docs table)
-        docs = spark.read.parquet(f"{index_dir}/docs").select("doc_id", "url")
+        docs = cached_parquet(spark, f"{index_dir}/docs").select("doc_id", "url")
         results = docs.join(F.broadcast(results), "doc_id").select(
             "qid", "rank", "doc_id", "url", "score"
         )

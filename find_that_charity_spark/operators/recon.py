@@ -15,7 +15,7 @@ from typing import Any
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from find_that_charity_spark.operators.query import run_queries
+from find_that_charity_spark.operators.query import cached_parquet, run_queries
 
 
 # the corpus exposes one entity type (the reference's analog is its org
@@ -54,7 +54,7 @@ def _filter_exclusions(spark: SparkSession, index_dir: str, props) -> "list[int]
     allowed = reduce(lambda a, b: a & b, conds)
     return sorted(
         r["doc_id"]
-        for r in spark.read.parquet(f"{index_dir}/docs")
+        for r in cached_parquet(spark, f"{index_dir}/docs")
         .where(~allowed)
         .select("doc_id")
         .collect()
@@ -100,6 +100,12 @@ def reconcile(
             (qid, batch[qid].get("query", ""), int(batch[qid].get("limit", 10)), "recon")
             for qid in qids
         ]
+        # the batch is already driver-side — hand the rows to run_queries
+        # (skips its take_wide size-probe job); a giant batch (beyond the
+        # small-batch threshold) falls back to the distributed probe
+        qrows = [
+            {"qid": q, "text": t, "k": kk, "mode": m} for q, t, kk, m in rows
+        ]
         qdf = spark.createDataFrame(rows, "qid string, text string, k int, mode string")
         import numpy as np
 
@@ -107,6 +113,7 @@ def reconcile(
             run_queries(
                 spark, index_dir, qdf, join_urls=True,
                 exclude_doc_ids=np.array(excl, dtype=np.int64) if excl else None,
+                prefetched_qrows=qrows if len(qrows) <= 10_000 else None,
             ).collect()
         )
 
@@ -137,7 +144,7 @@ def suggest(spark: SparkSession, index_dir: str, prefix: str, k: int = 10) -> li
 
     The dictionary is bucket-partitioned parquet; a prefix scan is a
     pruned scan + TakeOrderedAndProject — no shuffle of postings."""
-    d = spark.read.parquet(f"{index_dir}/dictionary")
+    d = cached_parquet(spark, f"{index_dir}/dictionary")
     rows = (
         d.where(F.col("term").startswith(prefix.lower()))
         .orderBy(F.desc("df"), F.asc("term"))
@@ -161,7 +168,7 @@ def prefix_topk(
     caller's foot-gun — ES caps it at max_expansions; we cap identically.
     """
     max_expansions = 1024  # ES multi-term default cap analog
-    d = spark.read.parquet(f"{index_dir}/dictionary")
+    d = cached_parquet(spark, f"{index_dir}/dictionary")
     terms = [
         r["term"]
         for r in d.where(F.col("term").startswith(prefix.lower()))
@@ -173,12 +180,15 @@ def prefix_topk(
         return spark.createDataFrame(
             [], "qid string, rank int, doc_id long, score double"
         )
+    qtext = " ".join(sorted(terms))
+    # expansions are analyzed tokens — re-analysis is identity
+    qrows = [{"qid": "pq", "text": qtext, "k": k, "mode": "freetext"}]
     qdf = spark.createDataFrame(
-        # expansions are analyzed tokens — re-analysis is identity
-        [("pq", " ".join(sorted(terms)), k, "freetext")],
+        [("pq", qtext, k, "freetext")],
         "qid string, text string, k int, mode string",
     )
-    return run_queries(spark, index_dir, qdf, use_bmw=True)
+    return run_queries(spark, index_dir, qdf, use_bmw=True,
+                       prefetched_qrows=qrows)
 
 
 def suggest_spelling(
@@ -214,7 +224,7 @@ def suggest_spelling(
         cands = sorted(
             {
                 r["term"]
-                for r in spark.read.parquet(f"{index_dir}/fuzzy_keys")
+                for r in cached_parquet(spark, f"{index_dir}/fuzzy_keys")
                 .where(F.col("key").isin(keys))
                 .select("term")
                 .collect()
@@ -226,7 +236,7 @@ def suggest_spelling(
         # collect the whole dictionary)
         cands = sorted(
             r["term"]
-            for r in spark.read.parquet(f"{index_dir}/dictionary")
+            for r in cached_parquet(spark, f"{index_dir}/dictionary")
             .where(
                 (F.abs(F.length("term") - F.lit(len(t))) <= 1)
                 & (F.levenshtein(F.col("term"), F.lit(t)) <= 1)
@@ -239,7 +249,7 @@ def suggest_spelling(
     if not verified:
         return spark.createDataFrame([], out_schema)
     return (
-        spark.read.parquet(f"{index_dir}/dictionary")
+        cached_parquet(spark, f"{index_dir}/dictionary")
         .where(F.col("term").isin(verified))
         .select(
             F.col("term").alias("suggestion"),
@@ -257,6 +267,7 @@ def add_to_csv(
     user_df: DataFrame,
     query_col: str,
     match_threshold: float = 0.0,
+    prefetched_rows: list | None = None,
 ) -> DataFrame:
     """A6: enrich a user table with its best reconciliation match.
 
@@ -270,7 +281,11 @@ def add_to_csv(
     needs (VERDICT r03 item 8). Large tables keep the distributed plan."""
     from find_that_charity_spark.operators.query import take_wide
 
-    probe = take_wide(user_df, 10_001)
+    # a caller that already holds the table driver-side passes the rows
+    # (same contract as run_queries.prefetched_qrows — they must mirror
+    # user_df): the take_wide size probe on a pickled-RDD-backed local
+    # relation costs a ~0.3 s Python-worker job (optimization round 6)
+    probe = prefetched_rows if prefetched_rows is not None else take_wide(user_df, 10_001)
     if len(probe) <= 10_000:
         seen: dict[str, None] = {}
         for r in probe:
@@ -301,7 +316,7 @@ def add_to_csv(
             ids = sorted({int(r["doc_id"]) for r in top})
             url_of = {
                 r["doc_id"]: r["url"]
-                for r in spark.read.parquet(f"{index_dir}/docs")
+                for r in cached_parquet(spark, f"{index_dir}/docs")
                 .where(F.col("doc_id").isin(ids))
                 .select("doc_id", "url")
                 .collect()

@@ -65,8 +65,16 @@ def read_corpus(
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one driver fixture table (TESTDATA.md) by name."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver fixture table (TESTDATA.md) by name.
+
+    Reader plans are mtime-cached (optimization round 6 batch 2): a fresh
+    ``spark.read.parquet`` pays a ~20-30 ms listing/schema job per call,
+    and the gates re-open the same fixture tables constantly. The cache
+    invalidates whenever the file changes (same discipline as the
+    dictionary/stats caches in operators/query.py)."""
+    from find_that_charity_spark.operators.query import cached_parquet
+
+    return cached_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def widen_scan(df: DataFrame, min_factor: float = 1.0) -> DataFrame:
