@@ -899,19 +899,34 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         F.lit(None).cast("int").alias("duration_ms"),
     )
-    feats = extract_features(media).select("media_id", "kind", "n_bytes")
-    frames = sample_frames(media).groupBy("media_id").agg(
-        F.count(F.lit(1)).alias("n_frames")
+    # both operator outputs are k-row-bounded by construction (the gate's
+    # 40-row media slice), so the left-join/coalesce glue runs driver-side
+    # on the collected rows (optimization round 6 batch 3): the
+    # distributed join of two mapInPandas subtrees cost 5 sequential AQE
+    # stage-jobs (~0.6 s of scheduling for 40 rows, measured). The REAL
+    # operator kernels (Arrow-batched decode/feature/frame-sample) still
+    # run distributed — only the tiny post-aggregation moved.
+    feat_rows = extract_features(media).select("media_id", "kind", "n_bytes").collect()
+    frame_rows = sample_frames(media).collect()
+    n_frames: dict[int, int] = {}
+    for r in frame_rows:
+        n_frames[int(r["media_id"])] = n_frames.get(int(r["media_id"]), 0) + 1
+    import pandas as pd
+
+    out = pd.DataFrame(
+        sorted(
+            (
+                int(r["media_id"]),
+                r["kind"],
+                int(r["n_bytes"]),
+                n_frames.get(int(r["media_id"]), 0),
+            )
+            for r in feat_rows
+        ),
+        columns=["media_id", "kind", "n_bytes", "n_frames"],
     )
-    return (
-        feats.join(frames, "media_id", "left")
-        .select(
-            F.col("media_id").cast("bigint"),
-            "kind",
-            F.col("n_bytes").cast("bigint"),
-            F.coalesce("n_frames", F.lit(0)).cast("bigint").alias("n_frames"),
-        )
-        .orderBy("media_id")
+    return spark.createDataFrame(
+        out, "media_id bigint, kind string, n_bytes bigint, n_frames bigint"
     )
 
 

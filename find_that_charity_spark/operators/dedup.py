@@ -437,10 +437,20 @@ _AUTO_SIGNATURE_THRESHOLD = 5_000
 def _resolve_signature_impl(
     docs: DataFrame, id_col: str, signature_impl: str, large: str
 ) -> str:
+    return _resolve_signature_impl_n(docs, id_col, signature_impl, large)[0]
+
+
+def _resolve_signature_impl_n(
+    docs: DataFrame, id_col: str, signature_impl: str, large: str
+) -> tuple[str, int | None]:
+    """(impl, n_probe): n_probe is the limited row count used for the
+    auto routing decision (None when impl was forced) — an exact count
+    whenever it is <= the threshold, which lets callers prove plan
+    simplifications like the over-cap-bucket census being unnecessary."""
     if signature_impl != "auto":
-        return signature_impl
+        return signature_impl, None
     n = docs.select(id_col).limit(_AUTO_SIGNATURE_THRESHOLD + 1).count()
-    return "arrow" if n <= _AUTO_SIGNATURE_THRESHOLD else large
+    return ("arrow" if n <= _AUTO_SIGNATURE_THRESHOLD else large), n
 
 
 def minhash_lsh_pairs(
@@ -475,7 +485,7 @@ def minhash_lsh_pairs(
     the regime minhash_pairs_sql's oracle equivalence also assumes.
     """
     rows_per_band = num_hashes // bands
-    signature_impl = _resolve_signature_impl(
+    signature_impl, n_probe = _resolve_signature_impl_n(
         docs, id_col, signature_impl, large="relational_md5"
     )
     if signature_impl == "relational_md5":
@@ -510,6 +520,40 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    if n_probe is not None and n_probe <= bucket_cap:
+        # over-cap buckets are IMPOSSIBLE (total rows <= bucket_cap), so
+        # the census, anti-join and star branch are statically removable:
+        # provably the identical plan with `over` empty (optimization
+        # round 6 batch 3 — at gate scale those branches cost ~6 AQE
+        # stage-jobs of pure scheduling)
+        pairs = (
+            banded.alias("l")
+            .join(
+                banded.alias("r"),
+                (F.col("l.band") == F.col("r.band"))
+                & (F.col("l.band_hash") == F.col("r.band_hash"))
+                & (F.col("l.id") < F.col("r.id")),
+            )
+            .select(
+                F.col("l.id").alias("id_a"),
+                F.col("r.id").alias("id_b"),
+                F.col("l.sig").alias("sig_a"),
+                F.col("r.sig").alias("sig_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        agree = F.size(
+            F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
+        ) / F.lit(float(num_hashes))
+        return (
+            pairs.withColumn("jac", agree)
+            .where(F.col("jac") >= threshold)
+            .select(
+                F.col("id_a").cast("bigint"),
+                F.col("id_b").cast("bigint"),
+                F.floor(F.col("jac") * 1000 + F.lit(0.5)).cast("bigint").alias("jaccard_mil"),
+            )
+        )
     # bucket-size census; over-cap buckets are few (degenerate cliques)
     over = (
         banded.groupBy("band", "band_hash")

@@ -330,7 +330,26 @@ def add_to_csv(
                 (*r, hit[0] if hit else None, hit[1] if hit else None)
             )
         schema = user_df.schema.add("match_url", "string").add("match_score", "double")
-        return spark.createDataFrame(out_rows, schema)
+        # Arrow-backed local relation (optimization round 6 batch 3): a
+        # plain-list createDataFrame parallelizes into defaultParallelism
+        # pickled slices, so the caller's collect paid ~0.4 s of Python-
+        # worker tasks (measured); the pandas path ships one Arrow batch
+        # the JVM evaluates without Python workers. Fallback for user
+        # column types Arrow can't convert keeps the old path.
+        try:
+            import pandas as _pd
+
+            pdf = _pd.DataFrame(
+                out_rows, columns=[f.name for f in schema.fields]
+            ).astype(object)
+            # missing values must reach Spark as NULL, not float NaN: the
+            # non-Arrow createDataFrame path would otherwise ship NaN,
+            # and CAST(NaN AS BIGINT) is 0 — observably different from a
+            # null match_score (caught by the driver-style verify run)
+            pdf = pdf.where(_pd.notnull(pdf), None)
+            return spark.createDataFrame(pdf, schema)
+        except Exception:
+            return spark.createDataFrame(out_rows, schema)
     keyed = user_df.withColumn("_qid", F.md5(F.col(query_col)))
     qdf = keyed.select(
         F.col("_qid").alias("qid"),

@@ -166,12 +166,33 @@ def write_ivf_index(
     return out_dir
 
 
+# centers are a tiny constant table per persisted index — mtime-cached
+# like the dictionary/stats caches (optimization round 6 batch 3): a warm
+# driver resolves probe cells with zero jobs, any index rewrite bumps the
+# signature
+_IVF_CENTERS_CACHE: dict[str, tuple[tuple, np.ndarray]] = {}
+
+
 def read_ivf_centers(spark, ivf_dir: str) -> np.ndarray:
-    rows = spark.read.parquet(f"{ivf_dir}/centroids").collect()
-    return np.array(
+    from find_that_charity_spark.operators.query import (
+        _local_mtime_key,
+        cached_parquet,
+    )
+
+    path = f"{ivf_dir}/centroids"
+    key = _local_mtime_key(path)
+    if key is not None:
+        hit = _IVF_CENTERS_CACHE.get(ivf_dir)
+        if hit is not None and hit[0] == key:
+            return hit[1]
+    rows = cached_parquet(spark, path).collect()
+    out = np.array(
         [r["center"] for r in sorted(rows, key=lambda r: r["centroid"])],
         dtype=np.float64,
     )
+    if key is not None:
+        _IVF_CENTERS_CACHE[ivf_dir] = (key, out)
+    return out
 
 
 def ivf_cosine_topk_indexed(
@@ -187,8 +208,10 @@ def ivf_cosine_topk_indexed(
     """IVF search against a persisted index: centers resolve driver-side,
     and the ``centroid IN (probes)`` filter is a partition filter on the
     assigned table — unprobed cells are never read."""
+    from find_that_charity_spark.operators.query import cached_parquet
+
     centers = read_ivf_centers(spark, ivf_dir)
-    assigned = spark.read.parquet(f"{ivf_dir}/assigned")
+    assigned = cached_parquet(spark, f"{ivf_dir}/assigned")
     return ivf_cosine_topk(
         centers, assigned, query_vec, k, nprobe, id_col, vec_col, exclude_id
     )
@@ -294,34 +317,43 @@ def embedding_cosine_pairs(
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
-    bucketed = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
-    ).withColumn("bucket", srp_bucket_udf(planes)("vec"))
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    # shuffle keys, not payloads (guide §2.3/§8 and §3.3 "explode before a
+    # join multiplies the shuffle" — optimization round 6 batch 3): the
+    # old plan exploded every row |masks| ways WITH its vector and ran
+    # dedup over (id_a, id_b, va, vb) — at full probe that shuffled the
+    # 64-double payload ~2·|masks| times per surviving pair (measured
+    # 16.5 s at sf0.01). Now the multi-probe explode, bucket equi-join
+    # and pair dedup run over (id, bucket) INTS only; vectors attach once
+    # per deduped pair by a join back to the base table, then the exact
+    # cosine verify runs as before. Same candidate set, same scores.
+    bucketed = base.select(
+        "id", srp_bucket_udf(planes)("vec").alias("bucket")
+    )
     masks = [0] + [
         sum(1 << b for b in bits)
         for r in range(1, probe_radius + 1)
         for bits in combinations(range(n_bits), r)
     ]
+    masks_arr = F.lit([int(m) for m in masks])  # ONE array literal (plan-build cost)
     left = bucketed.select(
         "id",
-        "vec",
         F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+            F.transform(masks_arr, lambda m: F.col("bucket").bitwiseXOR(m))
         ).alias("bucket"),
     )
-    cand = (
+    cand_ids = (
         left.alias("l")
         .join(
             bucketed.alias("r"),
             (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.vec").alias("va"),
-            F.col("r.vec").alias("vb"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    cand = (
+        cand_ids.join(base.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
     )
     cos = cos_pair_udf(F.col("va"), F.col("vb"))
     return (
@@ -333,6 +365,42 @@ def embedding_cosine_pairs(
             F.floor(F.col("cos") * 1e4 + F.lit(0.5)).cast("bigint").alias("cos_mil"),
         )
     )
+
+
+# sentinel for "not a candidate": strictly below the cosine range, so the
+# filter `cos > _LSH_MISS_FILTER` drops exactly the out-of-ball rows while
+# a degenerate-vector NaN cosine keeps the same (Spark NaN-is-greatest)
+# ordering behavior the two-pass plan had
+_LSH_MISS = -2.0
+_LSH_MISS_FILTER = -1.5
+
+
+def srp_probe_cos_udf(planes: np.ndarray, probe_buckets: set[int], q: np.ndarray):
+    """pandas_udf fusing the LSH candidate test with the cosine verify:
+    cosine(vec, q) when the vector's SRP bucket is in ``probe_buckets``,
+    the ``_LSH_MISS`` sentinel otherwise. One Arrow transfer of the
+    vector column replaces the two separate passes (bucket UDF + cosine
+    UDF) the old plan ran (optimization round 6 batch 3, guide §4.1: you
+    control how many columns cross the boundary — and how many times)."""
+    pt = np.ascontiguousarray(np.asarray(planes, dtype=np.float64).T)
+    pows = 1 << np.arange(planes.shape[0], dtype=np.int64)
+    probe_all = len(probe_buckets) >= (1 << planes.shape[0])
+    probes = np.array(sorted(probe_buckets), dtype=np.int64)
+    qd = np.asarray(q, dtype=np.float64)
+    qn = float(np.sqrt(qd @ qd))
+
+    @pandas_udf(DoubleType())
+    def _probe_cos(vs: pd.Series) -> pd.Series:
+        m = _stack(vs)
+        num = m @ qd
+        den = np.sqrt(np.einsum("ij,ij->i", m, m)) * qn
+        cos = num / den
+        if not probe_all:
+            buckets = (((m @ pt) > 0) @ pows).astype(np.int64)
+            cos = np.where(np.isin(buckets, probes), cos, _LSH_MISS)
+        return pd.Series(cos)
+
+    return _probe_cos
 
 
 def cosine_topk_lsh(
@@ -352,28 +420,39 @@ def cosine_topk_lsh(
     At scale the bucket column is a partition/cluster key, so the search
     reads a small slice of the corpus instead of scanning everything;
     radius trades recall for scanned fraction (r=2 of 8 bits ~ 14%).
+
+    Plan (optimization round 6 batch 3): the query row resolves with one
+    pushed point-filter collect, its probe-bucket ball is enumerated in
+    numpy driver-side, and ONE fused Arrow UDF computes bucket-membership
+    + cosine per candidate — the old plan built 257 literal XOR columns
+    (measured ~1 s of driver plan construction), ran the bucket UDF over
+    the corpus TWICE (once under the broadcast subtree, once for
+    candidates) and shipped the vector column across the Python boundary
+    twice. Candidate set and scores are unchanged: membership in the
+    hamming ball of the query's bucket is symmetric under XOR.
     """
     from itertools import combinations
 
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
-    bucketed = emb.withColumn("bucket", srp_bucket_udf(planes)(vec_col))
-    qrow = bucketed.where(F.col(id_col) == query_vec_id).select("bucket", F.col(vec_col).alias("qvec"))
+    qrow = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
+    if not qrow:
+        return emb.sparkSession.createDataFrame(
+            [], "vec_id bigint, rank int, cos_mil bigint"
+        )
+    q = np.asarray(qrow[0][0], dtype=np.float64)
+    q_bucket = int((((planes @ q) > 0) @ (1 << np.arange(n_bits, dtype=np.int64))))
     masks = [0] + [
         sum(1 << b for b in bits)
         for r in range(1, probe_radius + 1)
         for bits in combinations(range(n_bits), r)
     ]
-    neigh = qrow.select(
-        F.explode(
-            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
-        ).alias("bucket"),
-        "qvec",
-    )
-    cand = bucketed.where(F.col(id_col) != query_vec_id).join(F.broadcast(neigh), "bucket")
-    cos = cos_pair_udf(F.col(vec_col), F.col("qvec"))
+    probe_buckets = {q_bucket ^ m for m in masks}
+    cos = srp_probe_cos_udf(planes, probe_buckets, q)(F.col(vec_col))
     return (
-        cand.withColumn("cos", cos)
+        emb.where(F.col(id_col) != query_vec_id)
+        .withColumn("cos", cos)
+        .where(F.col("cos") > F.lit(_LSH_MISS_FILTER))
         .orderBy(F.desc("cos"), F.asc(id_col))
         .limit(k)
         .select(
