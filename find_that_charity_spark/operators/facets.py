@@ -32,7 +32,11 @@ from pyspark.sql import functions as F
 
 from find_that_charity_spark.functions.analyzer import analyze, analyze_name
 from find_that_charity_spark.functions.codec import decode_postings
-from find_that_charity_spark.operators.query import cached_parquet, read_tombstones
+from find_that_charity_spark.operators.query import (
+    cached_parquet,
+    in_list,
+    read_tombstones,
+)
 from find_that_charity_spark.plans.checkpoint import check_format
 
 _IDS_SCHEMA = "doc_id long"
@@ -80,12 +84,44 @@ def _matched_live_ids(
     hit_terms = sorted(by_term)
     segments = (
         cached_parquet(spark, f"{index_dir}/segments")
-        .where(F.col("bucket").isin(buckets))       # partition filter (D3)
-        .where(F.col("term").isin(hit_terms))       # row-group pushdown
+        .where(in_list("bucket", buckets))          # partition filter (D3)
+        .where(in_list("term", hit_terms))          # row-group pushdown
         .select("postings", "blockmax")
     )
-    ids = segments.mapInPandas(_decode_ids, _IDS_SCHEMA).distinct()
     tomb = read_tombstones(spark, index_dir)
+    # Driver-side match-set tail (optimization round 6 batch 4): the
+    # probe bounds the postings volume exactly, so under the same guard
+    # the scorer's driver tail uses, the pruned rows are pulled in one
+    # pushed job and decoded with the same numpy kernel in-process; the
+    # distinct + tombstone anti-join become array ops and the facet join
+    # gets an Arrow-backed local id relation (broadcast by size) instead
+    # of a mapInPandas + distinct-exchange subtree (~0.25 s of AQE
+    # stage-jobs, measured). Over-bound (stop-word) match sets keep the
+    # distributed decode.
+    from find_that_charity_spark.operators.query import (
+        _driver_score_max_postings,
+    )
+
+    total_postings = sum(df for df, _ in by_term.values())
+    if total_postings <= _driver_score_max_postings():
+        chunks = []
+        for sr in segments.collect():
+            bm = [
+                (b["last_doc"], b["max_tf"], b["min_dl"], b["offset"], b["n"])
+                for b in sr["blockmax"]
+            ]
+            chunks.append(decode_postings(sr["postings"], bm, with_positions=False)[0])
+        live = (
+            np.unique(np.concatenate(chunks))
+            if chunks
+            else np.empty(0, dtype=np.int64)
+        )
+        if tomb.size:
+            live = np.setdiff1d(live, tomb, assume_unique=False)
+        return spark.createDataFrame(
+            pd.DataFrame({"doc_id": live}), _IDS_SCHEMA
+        )
+    ids = segments.mapInPandas(_decode_ids, _IDS_SCHEMA).distinct()
     if tomb.size:
         tomb_df = spark.createDataFrame(
             [(int(t),) for t in tomb], _IDS_SCHEMA

@@ -691,7 +691,7 @@ def probe_dictionary(
     if todo:
         rows = (
             cached_parquet(spark, f"{index_dir}/dictionary")
-            .where(F.col("term").isin(todo))
+            .where(in_list("term", todo))
             .select("term", "df", "bucket")
             .collect()
         )
@@ -1195,6 +1195,27 @@ def take_wide(df: DataFrame, n: int) -> list:
                 spark.conf.set(key, prev)
 
 
+def in_list(col: str, values) -> "F.Column":
+    """``col IN (values)`` as ONE py4j round trip.
+
+    ``Column.isin`` builds one Java literal per element (~0.7 ms of py4j
+    each, measured — 0.2 s of pure driver time for a 300-id list); above
+    a small size the same In expression is built by the SQL parser from
+    one string instead. Identical semantics and identical parquet
+    pushdown (it IS the same ``In`` Catalyst node). Values must be ints
+    or strings; strings are quote-escaped."""
+    vals = list(values)
+    if len(vals) <= 32:
+        return F.col(col).isin(vals)
+    parts = []
+    for v in vals:
+        if isinstance(v, str):
+            parts.append("'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'")
+        else:
+            parts.append(str(int(v)))
+    return F.expr(f"`{col}` IN ({', '.join(parts)})")
+
+
 def _driver_score_max_postings() -> int:
     """Postings-volume bound for the driver-side scoring tail. The default
     (2M postings ≈ a few MB of blobs, positions included) keeps the pull
@@ -1226,8 +1247,8 @@ def _score_driver(
     buckets = sorted({r[8] for r in matched_rows})
     terms = sorted({r[6] for r in matched_rows})
     seg_rows = (
-        segs.where(F.col("bucket").isin(buckets))
-        .where(F.col("term").isin(terms))
+        segs.where(in_list("bucket", buckets))
+        .where(in_list("term", terms))
         .select("term", "min_doc", "max_doc", "has_positions", "postings", "blockmax")
         .collect()
     )
@@ -1278,7 +1299,7 @@ def _score_driver(
         docs = cached_parquet(spark, f"{index_dir}/docs")
         url_of = {
             int(r["doc_id"]): r["url"]
-            for r in docs.where(F.col("doc_id").isin(ids))
+            for r in docs.where(in_list("doc_id", ids))
             .select("doc_id", "url")
             .collect()
         }
