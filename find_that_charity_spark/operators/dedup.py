@@ -433,6 +433,14 @@ def simhash_signatures(
 # everything else to the relational (at-scale default) path.
 _AUTO_SIGNATURE_THRESHOLD = 5_000
 
+# below this row count (known exactly from the auto-routing probe) the
+# banding + verify tail runs driver-side on the collected signatures
+# (optimization round 6 batch 5): the distributed tail is a self-join +
+# pair-dedup whose AQE stage-jobs are pure scheduling at this size, while
+# the candidate algebra is a few thousand int comparisons. Bounds the
+# worst-case (all-identical signatures) pair set at ~2M.
+_DRIVER_PAIRS_THRESHOLD = 2_000
+
 
 def _resolve_signature_impl(
     docs: DataFrame, id_col: str, signature_impl: str, large: str
@@ -502,6 +510,54 @@ def minhash_lsh_pairs(
         )
     else:
         raise ValueError(f"unknown signature_impl {signature_impl!r}")
+    # Driver tail (see _DRIVER_PAIRS_THRESHOLD). Banding here groups by
+    # the band's VALUE slice instead of F.hash(slice); the outputs are
+    # provably identical when the verify threshold's mismatch budget is
+    # smaller than the band count (pigeonhole: any pair with agreement >=
+    # threshold then shares at least one exact band, and every
+    # hash-banding candidate that survives the verify is such a pair) —
+    # the classic banding-soundness regime, which the gate parameters
+    # satisfy. Outside it, or above the size bound, the distributed plan
+    # runs unchanged.
+    mismatch_budget = num_hashes - int(np.ceil(threshold * num_hashes))
+    if (
+        n_probe is not None
+        and n_probe <= min(_DRIVER_PAIRS_THRESHOLD, bucket_cap)
+        and mismatch_budget < bands
+    ):
+        sig_rows = sigs.collect()
+        ids = [int(r["id"]) for r in sig_rows]
+        sig_l = [list(r["sig"]) for r in sig_rows]
+        cand: set[tuple[int, int]] = set()
+        for b in range(bands):
+            groups: dict[tuple, list[int]] = {}
+            for j in range(len(ids)):
+                key = tuple(sig_l[j][b * rows_per_band : (b + 1) * rows_per_band])
+                groups.setdefault(key, []).append(j)
+            for members in groups.values():
+                if len(members) > 1:
+                    for x in range(len(members)):
+                        for y in range(x + 1, len(members)):
+                            a, c = ids[members[x]], ids[members[y]]
+                            ja, jb = members[x], members[y]
+                            if a > c:
+                                a, c = c, a
+                                ja, jb = jb, ja
+                            if a != c:
+                                cand.add((a, c, ja, jb))
+        out_rows = []
+        for a, c, ja, jb in cand:
+            agree = sum(
+                1 for u, v in zip(sig_l[ja], sig_l[jb]) if u == v
+            ) / float(num_hashes)
+            if agree >= threshold:
+                out_rows.append((a, c, int(np.floor(agree * 1000 + 0.5))))
+        return docs.sparkSession.createDataFrame(
+            pd.DataFrame(
+                sorted(out_rows), columns=["id_a", "id_b", "jaccard_mil"]
+            ),
+            "id_a bigint, id_b bigint, jaccard_mil bigint",
+        )
     banded = sigs.select(
         "id",
         "sig",
@@ -815,7 +871,7 @@ def simhash_near_dups(
         else F.shiftrightunsigned("sh", off).bitwiseAND(F.lit((1 << w) - 1))
         for off, w in zip(offs, widths)
     ]
-    signature_impl = _resolve_signature_impl(
+    signature_impl, n_probe = _resolve_signature_impl_n(
         docs, id_col, signature_impl, large="relational_md5"
     )
     if signature_impl == "relational_md5":
@@ -827,6 +883,40 @@ def simhash_near_dups(
         )
     else:
         raise ValueError(f"unknown signature_impl {signature_impl!r}")
+    # Driver tail (see _DRIVER_PAIRS_THRESHOLD in the minhash twin):
+    # block banding already groups by the block VALUE, so the driver-side
+    # candidate set is exactly the distributed one; the hamming verify is
+    # the same bit_count. Above the bound the distributed plan runs
+    # unchanged.
+    if n_probe is not None and n_probe <= _DRIVER_PAIRS_THRESHOLD:
+        sig_rows = sigs.collect()
+        ids = [int(r["id"]) for r in sig_rows]
+        shs = [int(r["sh"]) & 0xFFFFFFFFFFFFFFFF for r in sig_rows]
+        cand: set[tuple[int, int]] = set()
+        for off, w in zip(offs, widths):
+            groups: dict[int, list[int]] = {}
+            for j in range(len(ids)):
+                groups.setdefault((shs[j] >> off) & ((1 << w) - 1), []).append(j)
+            for members in groups.values():
+                if len(members) > 1:
+                    for x in range(len(members)):
+                        for y in range(x + 1, len(members)):
+                            a, c = ids[members[x]], ids[members[y]]
+                            ja, jb = members[x], members[y]
+                            if a > c:
+                                a, c = c, a
+                                ja, jb = jb, ja
+                            if a != c:
+                                cand.add((a, c, ja, jb))
+        out_rows = []
+        for a, c, ja, jb in cand:
+            ham = (shs[ja] ^ shs[jb]).bit_count()
+            if ham <= max_hamming:
+                out_rows.append((a, c, ham))
+        return docs.sparkSession.createDataFrame(
+            pd.DataFrame(sorted(out_rows), columns=["id_a", "id_b", "hamming"]),
+            "id_a bigint, id_b bigint, hamming int",
+        )
     blocks = sigs.select(
         "id",
         "sh",

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from find_that_charity_spark.functions.analyzer import analyze, tokenize_expr
-from find_that_charity_spark.functions.bm25 import bm25_sql, bm25_term_score_col, idf_col
+from find_that_charity_spark.functions.bm25 import bm25_sql
 from find_that_charity_spark.sources.corpus import read_table, widen_scan
 
 
@@ -42,28 +42,6 @@ def relational_doclen(docs: DataFrame, id_col: str = "doc_id", text_col: str = "
     """(doc_id, dl) — exact token counts (B3)."""
     return docs.select(
         F.col(id_col).alias("doc_id"), F.size(tokenize_expr(text_col)).alias("dl")
-    )
-
-
-def _per_doc_term_freqs(
-    docs: DataFrame, terms: list[str], id_col: str, text_col: str
-) -> DataFrame:
-    """(doc_id, dl, tf_0..tf_n-1): one tokenize pass per doc, per-query-term
-    tf via ``size(tokens) - size(array_remove(tokens, t))`` — both native
-    codegen expressions, no explode and no (term, doc_id) inversion shuffle.
-    The tokens array is bound in its own projection so Catalyst's
-    CollapseProject keeps the (expensive, multiply-referenced)
-    ``regexp_extract_all`` evaluated once per row."""
-    tokens = docs.select(
-        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("tokens")
-    )
-    return tokens.select(
-        "doc_id",
-        F.size("tokens").alias("dl"),
-        *[
-            (F.size("tokens") - F.size(F.array_remove("tokens", t))).alias(f"tf_{i}")
-            for i, t in enumerate(terms)
-        ],
     )
 
 
@@ -105,34 +83,43 @@ def bm25_topk(
     # per-doc relation instead of re-tokenizing per consumer. Scoped to
     # this query's DataFrame instance, reclaimed by the ContextCleaner
     # when it is dropped — nothing survives across invocations.
-    perdoc = _per_doc_term_freqs(
-        widen_scan(docs), terms, id_col, text_col
+    #
+    # Expressions are built as parsed SQL strings (optimization round 6
+    # batch 5): the Column-by-Column construction of the per-term
+    # tf/df/score tree cost ~900 py4j round trips ≈ 0.4 s of driver wall
+    # per call (cProfile); the parser builds the IDENTICAL Catalyst tree
+    # (same operator associativity, same double literals — the score
+    # string is the very rendering the DuckDB oracle executes) in a
+    # handful of calls.
+    tokens = widen_scan(docs).select(
+        F.col(id_col).alias("doc_id"), tokenize_expr(text_col).alias("tokens")
+    )
+    perdoc = tokens.selectExpr(
+        "doc_id",
+        "size(tokens) AS dl",
+        *[
+            f"(size(tokens) - size(array_remove(tokens, '{t}'))) AS tf_{i}"
+            for i, t in enumerate(terms)
+        ],
     ).localCheckpoint(eager=False)
     stats = perdoc.agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.avg("dl").alias("avgdl"),
+        F.expr("count(1) AS n_docs"),
+        F.expr("avg(dl) AS avgdl"),
         *[
-            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            F.expr(f"sum(CAST(tf_{i} > 0 AS BIGINT)) AS df_{i}")
             for i in range(len(terms))
         ],
     )
 
-    matched_any = F.col("tf_0") > 0
-    for i in range(1, len(terms)):
-        matched_any = matched_any | (F.col(f"tf_{i}") > 0)
-    score = None
-    for i in range(len(terms)):
-        part = bm25_term_score_col(
-            F.col(f"tf_{i}"),
-            F.col("dl"),
-            idf_col(F.col("n_docs"), F.col(f"df_{i}")),
-            F.col("avgdl"),
-        )
-        score = part if score is None else score + part
+    matched_any = F.expr(" OR ".join(f"tf_{i} > 0" for i in range(len(terms))))
+    score_sql = " + ".join(
+        bm25_sql(tf=f"tf_{i}", dl="dl", n="n_docs", df=f"df_{i}", avgdl="avgdl")
+        for i in range(len(terms))
+    )
     scored = (
         perdoc.where(matched_any)
         .crossJoin(F.broadcast(stats))
-        .select("doc_id", score.alias("score"))
+        .selectExpr("doc_id", f"({score_sql}) AS score")
     )
     ranked = (
         scored.orderBy(F.desc("score"), F.asc("doc_id"))
