@@ -907,7 +907,7 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operator kernels (Arrow-batched decode/feature/frame-sample) still
     # run distributed — only the tiny post-aggregation moved.
     feat_rows = extract_features(media).select("media_id", "kind", "n_bytes").collect()
-    frame_rows = sample_frames(media).collect()
+    frame_rows = sample_frames(media).select("media_id").collect()
     n_frames: dict[int, int] = {}
     for r in frame_rows:
         n_frames[int(r["media_id"])] = n_frames.get(int(r["media_id"]), 0) + 1

@@ -528,7 +528,10 @@ def minhash_lsh_pairs(
         sig_rows = sigs.collect()
         ids = [int(r["id"]) for r in sig_rows]
         sig_l = [list(r["sig"]) for r in sig_rows]
-        cand: set[tuple[int, int]] = set()
+        # keyed on the (id_a, id_b) pair — exactly one output row per
+        # pair, mirroring the distributed dropDuplicates even for
+        # degenerate inputs with duplicate ids (review finding)
+        cand: dict[tuple[int, int], tuple[int, int]] = {}
         for b in range(bands):
             groups: dict[tuple, list[int]] = {}
             for j in range(len(ids)):
@@ -544,9 +547,9 @@ def minhash_lsh_pairs(
                                 a, c = c, a
                                 ja, jb = jb, ja
                             if a != c:
-                                cand.add((a, c, ja, jb))
+                                cand.setdefault((a, c), (ja, jb))
         out_rows = []
-        for a, c, ja, jb in cand:
+        for (a, c), (ja, jb) in cand.items():
             agree = sum(
                 1 for u, v in zip(sig_l[ja], sig_l[jb]) if u == v
             ) / float(num_hashes)
@@ -576,7 +579,14 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
-    if n_probe is not None and n_probe <= bucket_cap:
+    # n_probe is EXACT only while <= _AUTO_SIGNATURE_THRESHOLD (the probe
+    # counts limit(threshold+1) rows); a truncated probe must never
+    # disable the skew guard (review finding, optimization round 6)
+    if (
+        n_probe is not None
+        and n_probe <= _AUTO_SIGNATURE_THRESHOLD
+        and n_probe <= bucket_cap
+    ):
         # over-cap buckets are IMPOSSIBLE (total rows <= bucket_cap), so
         # the census, anti-join and star branch are statically removable:
         # provably the identical plan with `over` empty (optimization
@@ -892,7 +902,8 @@ def simhash_near_dups(
         sig_rows = sigs.collect()
         ids = [int(r["id"]) for r in sig_rows]
         shs = [int(r["sh"]) & 0xFFFFFFFFFFFFFFFF for r in sig_rows]
-        cand: set[tuple[int, int]] = set()
+        # keyed on the pair — one row per (id_a, id_b), as distributed
+        cand: dict[tuple[int, int], tuple[int, int]] = {}
         for off, w in zip(offs, widths):
             groups: dict[int, list[int]] = {}
             for j in range(len(ids)):
@@ -907,9 +918,9 @@ def simhash_near_dups(
                                 a, c = c, a
                                 ja, jb = jb, ja
                             if a != c:
-                                cand.add((a, c, ja, jb))
+                                cand.setdefault((a, c), (ja, jb))
         out_rows = []
-        for a, c, ja, jb in cand:
+        for (a, c), (ja, jb) in cand.items():
             ham = (shs[ja] ^ shs[jb]).bit_count()
             if ham <= max_hamming:
                 out_rows.append((a, c, ham))

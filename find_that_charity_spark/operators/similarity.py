@@ -37,50 +37,113 @@ def _dot(a: Column, b: Column) -> Column:
 # summation-order ULPs exactly as they do between the JVM and DuckDB.
 
 
-def _stack(s: pd.Series) -> np.ndarray:
-    if len(s) == 0:
-        return np.empty((0, 1), dtype=np.float64)
-    return np.stack([np.asarray(v, dtype=np.float64) for v in s])
+def _stack_masked(
+    s: pd.Series, dim: int | None = None
+) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix, valid): rows that are None or whose length differs from
+    ``dim`` (default: the batch's modal length) are zero-filled and
+    masked invalid — preserving the JVM ``zip_with``/``aggregate``
+    kernels' null semantics (null/ragged vec → null dot product, 0 sign
+    bits) in the Arrow twins (optimization round 6 review: ``np.stack``
+    raised on such rows where the old expressions returned NULL)."""
+    vals = [None if v is None else np.asarray(v, dtype=np.float64) for v in s]
+    if dim is None:
+        lens: dict[int, int] = {}
+        for v in vals:
+            if v is not None:
+                lens[v.shape[0]] = lens.get(v.shape[0], 0) + 1
+        dim = max(lens, key=lambda k: (lens[k], -k)) if lens else 1
+    m = np.zeros((len(vals), dim), dtype=np.float64)
+    valid = np.zeros(len(vals), dtype=bool)
+    for i, v in enumerate(vals):
+        if v is not None and v.shape[0] == dim:
+            m[i] = v
+            valid[i] = True
+    return m, valid
 
 
 def cos_vs_query_udf(q: np.ndarray):
-    """pandas_udf: cosine(vec, q) with q fixed — dot/(|vec||q|)."""
+    """pandas_udf: cosine(vec, q) with q fixed — dot/(|vec||q|); NULL for
+    null/ragged vectors (the JVM twin's semantics)."""
     qd = np.asarray(q, dtype=np.float64)
     qn = float(np.sqrt(qd @ qd))
 
     @pandas_udf(DoubleType())
     def _cos(vs: pd.Series) -> pd.Series:
-        m = _stack(vs)
-        num = m @ qd
-        den = np.sqrt(np.einsum("ij,ij->i", m, m)) * qn
-        return pd.Series(num / den)
+        m, valid = _stack_masked(vs, qd.shape[0])
+        with np.errstate(all="ignore"):
+            num = m @ qd
+            den = np.sqrt(np.einsum("ij,ij->i", m, m)) * qn
+            cos = num / den
+        return pd.Series(pd.arrays.FloatingArray(cos, ~valid))
 
     return _cos
 
 
 @pandas_udf(DoubleType())
 def cos_pair_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
-    """pandas_udf: cosine(va, vb) element-wise over two vector columns."""
-    a = _stack(va)
-    b = _stack(vb)
-    num = np.einsum("ij,ij->i", a, b)
-    den = np.sqrt(np.einsum("ij,ij->i", a, a)) * np.sqrt(
-        np.einsum("ij,ij->i", b, b)
-    )
-    return pd.Series(num / den)
+    """pandas_udf: cosine(va, vb) element-wise over two vector columns.
+    NULL when either side is null or the lengths differ (zip_with pads
+    with nulls → null dot in the JVM twin); pairs whose shared length
+    differs from the batch's modal length compute on a scalar side path."""
+    a_vals = [None if v is None else np.asarray(v, np.float64) for v in va]
+    b_vals = [None if v is None else np.asarray(v, np.float64) for v in vb]
+    n = len(a_vals)
+    out = np.full(n, np.nan)
+    missing = np.ones(n, dtype=bool)
+    lens: dict[int, int] = {}
+    for v in a_vals:
+        if v is not None:
+            lens[v.shape[0]] = lens.get(v.shape[0], 0) + 1
+    D = max(lens, key=lambda k: (lens[k], -k)) if lens else None
+    fast = [
+        i
+        for i in range(n)
+        if D is not None
+        and a_vals[i] is not None
+        and b_vals[i] is not None
+        and a_vals[i].shape[0] == D
+        and b_vals[i].shape[0] == D
+    ]
+    if fast:
+        a = np.stack([a_vals[i] for i in fast])
+        b = np.stack([b_vals[i] for i in fast])
+        with np.errstate(all="ignore"):
+            c = np.einsum("ij,ij->i", a, b) / (
+                np.sqrt(np.einsum("ij,ij->i", a, a))
+                * np.sqrt(np.einsum("ij,ij->i", b, b))
+            )
+        out[fast] = c
+        missing[fast] = False
+    for i in range(n):
+        if (
+            missing[i]
+            and a_vals[i] is not None
+            and b_vals[i] is not None
+            and a_vals[i].shape[0] == b_vals[i].shape[0]
+        ):
+            u, w = a_vals[i], b_vals[i]
+            with np.errstate(all="ignore"):
+                out[i] = (u @ w) / (np.sqrt(u @ u) * np.sqrt(w @ w))
+            missing[i] = False
+    return pd.Series(pd.arrays.FloatingArray(out, missing))
 
 
 def srp_bucket_udf(planes: np.ndarray):
     """pandas_udf twin of :func:`srp_bucket_expr`: sign bits of <v, plane_i>
-    packed little-endian into an int bucket id."""
+    packed little-endian into an int bucket id. A null/ragged vector gets
+    bucket 0 — exactly what the JVM expression computes (null dot → the
+    ``otherwise(0)`` branch for every bit)."""
     pt = np.ascontiguousarray(np.asarray(planes, dtype=np.float64).T)
     pows = (1 << np.arange(planes.shape[0], dtype=np.int64))
 
     @pandas_udf(IntegerType())
     def _bucket(vs: pd.Series) -> pd.Series:
-        m = _stack(vs)
+        m, valid = _stack_masked(vs, pt.shape[0])
         bits = (m @ pt) > 0
-        return pd.Series((bits @ pows).astype(np.int32))
+        out = (bits @ pows).astype(np.int64)
+        out[~valid] = 0
+        return pd.Series(out.astype(np.int32))
 
     return _bucket
 
@@ -391,14 +454,18 @@ def srp_probe_cos_udf(planes: np.ndarray, probe_buckets: set[int], q: np.ndarray
 
     @pandas_udf(DoubleType())
     def _probe_cos(vs: pd.Series) -> pd.Series:
-        m = _stack(vs)
-        num = m @ qd
-        den = np.sqrt(np.einsum("ij,ij->i", m, m)) * qn
-        cos = num / den
+        m, valid = _stack_masked(vs, qd.shape[0])
+        with np.errstate(all="ignore"):
+            num = m @ qd
+            den = np.sqrt(np.einsum("ij,ij->i", m, m)) * qn
+            cos = num / den
         if not probe_all:
             buckets = (((m @ pt) > 0) @ pows).astype(np.int64)
+            buckets[~valid] = 0  # JVM twin: null dot -> all-zero sign bits
             cos = np.where(np.isin(buckets, probes), cos, _LSH_MISS)
-        return pd.Series(cos)
+        # null/ragged vectors yield a NULL cosine (dropped by the miss
+        # filter — they can never enter a top-k either way)
+        return pd.Series(pd.arrays.FloatingArray(cos, ~valid))
 
     return _probe_cos
 
@@ -436,7 +503,7 @@ def cosine_topk_lsh(
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bits, dim))
     qrow = emb.where(F.col(id_col) == query_vec_id).select(vec_col).collect()
-    if not qrow:
+    if not qrow or qrow[0][0] is None:
         return emb.sparkSession.createDataFrame(
             [], "vec_id bigint, rank int, cos_mil bigint"
         )
